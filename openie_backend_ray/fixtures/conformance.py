@@ -1,0 +1,97 @@
+"""Conformance target derivation from the reference golden fixtures.
+
+``test-groups.txt`` predates a TSV round-trip that corrupted ~15% of its
+rows: token/tag layers shifted wherever original tokens contained spaces,
+so the stored norm strings cannot be reproduced from the stored layers —
+by the reference code itself or by anyone else (re-running the reference
+grouper on the re-parsed rows would produce different keys too).
+
+A group is *round-trip clean* iff some instance satisfies, for each of
+arg1/rel/arg2:
+
+1. length alignment — the determiner-filtered interval tokens
+   (``models/.../ReVerbExtraction.scala:117``) count matches the stored
+   norm's token count, and
+2. tag plausibility — every aligned (token, tag, expected-stem) pair
+   either has a tag the reference stems (VB*/MD/NN*/PRP*) or maps to
+   itself (plus the "n't" -> "not" special case). A DT-tagged
+   "guitarists" mapping to "the" is a shifted layer, not a stemming.
+
+Both criteria are implementation-independent (no reference to our
+stemmer's output), so the P/R gate computed over clean groups is a
+genuine test of the engine. The raw (all-groups) number is also asserted
+at a lower floor in tests.
+"""
+
+from __future__ import annotations
+
+from openie_backend_ray.fixtures.reverb_tsv import Extraction, Group, read_groups
+from openie_backend_ray.functions.normalize import STRIPPED_DETERMINERS
+
+_STEMMABLE = ("VB", "NN", "MD", "PRP")
+
+
+def _aligned_parts(
+    g: Group, inst: Extraction
+) -> list[tuple[list[tuple[str, str]], list[str]]] | None:
+    out = []
+    for iv, nm in (
+        (inst.arg1, g.arg1_norm),
+        (inst.rel, g.rel_norm),
+        (inst.arg2, g.arg2_norm),
+    ):
+        filt = [
+            (inst.tokens[i], inst.postags[i])
+            for i in range(iv[0], iv[1])
+            if inst.tokens[i].lower() not in STRIPPED_DETERMINERS
+        ]
+        exp = nm.split(" ")
+        if len(filt) != len(exp):
+            return None
+        out.append((filt, exp))
+    return out
+
+
+def _pair_plausible(word: str, tag: str, expected: str) -> bool:
+    if expected == word.lower():
+        return True
+    if word.lower() == "n't":
+        return True
+    return tag.startswith(_STEMMABLE)
+
+
+def instance_is_clean(g: Group, inst: Extraction) -> bool:
+    ap = _aligned_parts(g, inst)
+    if ap is None:
+        return False
+    for filt, exp in ap:
+        for (w, t), e in zip(filt, exp):
+            if not _pair_plausible(w, t, e):
+                return False
+    return True
+
+
+def group_is_clean(g: Group) -> bool:
+    return any(instance_is_clean(g, inst) for inst in g.instances)
+
+
+def clean_groups(groups: list[Group] | None = None) -> list[Group]:
+    if groups is None:
+        groups = read_groups()
+    return [g for g in groups if group_is_clean(g)]
+
+
+def expected_triples(groups: list[Group] | None = None) -> set[tuple[str, str, str]]:
+    """Distinct (arg1_norm, rel_norm, arg2_norm) from clean golden groups."""
+    return {
+        (g.arg1_norm, g.rel_norm, g.arg2_norm) for g in clean_groups(groups)
+    }
+
+
+def precision_recall(
+    produced: set[tuple[str, str, str]], expected: set[tuple[str, str, str]]
+) -> tuple[float, float]:
+    if not produced or not expected:
+        return 0.0, 0.0
+    inter = len(produced & expected)
+    return inter / len(produced), inter / len(expected)

@@ -1,0 +1,104 @@
+"""Fixture parsing + normalization-key parity against the reference's
+golden groups (``test-groups.txt``): the grouping key is the semantic
+heart of the engine (SURVEY.md §1.3), so it is gated hard here."""
+
+from __future__ import annotations
+
+from openie_backend_ray.fixtures.conformance import clean_groups
+from openie_backend_ray.fixtures.reverb_tsv import parse_interval
+from openie_backend_ray.functions.normalize import (
+    frontend_key_part,
+    index_key,
+    index_key_part,
+    key_string,
+)
+from openie_backend_ray.functions.stemmer import stem
+
+
+def test_fixture_counts(golden_extractions, golden_groups):
+    assert len(golden_extractions) == 317
+    assert len(golden_groups) == 999
+    assert sum(len(g.instances) for g in golden_groups) > 3000
+
+
+def test_interval_grammar():
+    assert parse_interval("[4, 8)") == (4, 8)
+    assert parse_interval("[4, 8]") == (4, 9)
+    assert parse_interval("{20}") == (20, 21)
+
+
+def test_stemmer_basics():
+    assert stem("is", "VBZ") == "be"
+    assert stem("was", "VBD") == "be"
+    assert stem("has", "VBZ") == "have"
+    assert stem("made", "VBD") == "make"
+    assert stem("commissioners", "NNS") == "commissioner"
+    assert stem("cities", "NNS") == "city"
+    assert stem("enables", "VBZ") == "enable"
+    assert stem("uses", "VBZ") == "use"
+    assert stem("defined", "VBN") == "define"
+    assert stem("dropped", "VBD") == "drop"
+    assert stem("filled", "VBD") == "fill"
+    assert stem("n't", "RB") == "not"
+    assert stem("me", "PRP") == "i"
+    assert stem("women", "NNS") == "woman"
+    # proper nouns pass through; NNPS gets the manual s-strip
+    # (TaggedStemmer.scala:52-58)
+    assert stem("Antilles", "NNP") == "antilles"
+    assert stem("Airlines", "NNPS") == "airlin"
+    # Morpha skips words beginning with an upper-case letter
+    assert stem("Includes", "VBZ") == "includes"
+    assert stem("Was", "VBD") == "was"
+    # tokens with non-letter characters pass through
+    assert stem(",sports", "NNS") == ",sports"
+
+
+def test_index_key_drops_determiners():
+    toks = ["the", "index", "was", "calculated"]
+    tags = ["DT", "NN", "VBD", "VBN"]
+    assert index_key_part(toks, tags, 0, 2) == "index"
+    assert index_key_part(toks, tags, 2, 4) == "be calculate"
+
+
+def test_frontend_key_strips_modifiers():
+    toks = ["favorable", "reviews"]
+    tags = ["JJ", "NNS"]
+    assert frontend_key_part(toks, tags, 0, 2) == "review"
+    # keep-list words survive modifier stripping
+    toks2 = ["not", "heard"]
+    tags2 = ["RB", "VBN"]
+    assert frontend_key_part(toks2, tags2, 0, 2) == "not hear"
+
+
+def test_key_string_format():
+    assert key_string(("a b", "c", "d")) == "a b__c__d"
+
+
+def test_index_key_parity_on_clean_groups(golden_groups):
+    """>=99% of round-trip-clean golden groups must reproduce their stored
+    (arg1Norm, relNorm, arg2Norm) from some instance's layers."""
+    cg = clean_groups(golden_groups)
+    assert len(cg) >= 800
+    hit = 0
+    for g in cg:
+        stored = (g.arg1_norm, g.rel_norm, g.arg2_norm)
+        if any(
+            index_key(i.tokens, i.postags, i.arg1, i.rel, i.arg2) == stored
+            for i in g.instances
+        ):
+            hit += 1
+    assert hit / len(cg) >= 0.99
+
+
+def test_index_key_parity_all_groups_floor(golden_groups):
+    """Raw parity over ALL 999 groups (incl. TSV-corrupted rows) stays
+    above a floor — guards against the clean-filter hiding regressions."""
+    hit = 0
+    for g in golden_groups:
+        stored = (g.arg1_norm, g.rel_norm, g.arg2_norm)
+        if any(
+            index_key(i.tokens, i.postags, i.arg1, i.rel, i.arg2) == stored
+            for i in g.instances
+        ):
+            hit += 1
+    assert hit / len(golden_groups) >= 0.83
