@@ -1,0 +1,177 @@
+"""Grouper (SURVEY.md G1/G2): keyed extractions -> ExtractionGroups.
+
+The reference is a Hadoop groupByKey on the normalized-triple key with
+reducer-side caps (truncate each group to 40k instances, drop >500k;
+``hadoop/.../ScoobiReVerbGrouper.scala:63-111``). Here it is:
+
+1. a map-side **combiner** (``combine_batch``): fold each upstream batch
+   into one partial-group row per key before the shuffle — the decisive
+   scale lever; a pathological head key ("obama"/"be") arrives at its
+   reducer pre-capped per batch, subsuming explicit key salting (each
+   upstream batch acts as a salt bucket). The reference's
+   arbitrary-order ``take(40000)`` cap makes this semantically
+   equivalent to its combinerless groupByKey.
+2. ONE ``groupby("key").map_groups`` shuffle over the partials.
+
+Through the shuffle, nested instance lists travel as pickled binary
+blobs: the per-group merge is then list-concat + cap (no per-group
+Arrow nested-struct casting, which profiling showed dominates wall
+time); a final per-batch pass converts blobs into the Arrow
+``GROUPS`` schema once.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pyarrow as pa
+
+from openie_backend_ray import schema as S
+
+MAX_GROUP_INSTANCES = 40_000  # ScoobiReVerbGrouper max_group_size (:110)
+MAX_RAW_GROUP = 500_000       # MAX_GROUP_SIZE drop threshold (:38,90)
+
+_INSTANCE_COLS = [
+    "tokens", "postags", "chunks", "arg1", "rel", "arg2",
+    "source_url", "corpus", "confidence",
+]
+
+# partial/merged group rows with pickled instances (pre-finalize)
+BLOB_GROUPS = pa.schema(
+    [
+        ("key", pa.string()),
+        ("arg1_norm", pa.string()),
+        ("rel_norm", pa.string()),
+        ("arg2_norm", pa.string()),
+        ("instances_blob", pa.binary()),
+        ("size", pa.int32()),
+    ]
+)
+
+
+def _inst_sort_key(x: dict):
+    return (-x["confidence"], " ".join(x["tokens"]),
+            x["arg1"]["start"], x["rel"]["start"])
+
+
+def _inst_sig(inst: dict):
+    return (
+        " ".join(inst["tokens"]), inst["corpus"],
+        inst["arg1"]["start"], inst["arg1"]["end"],
+        inst["rel"]["start"], inst["rel"]["end"],
+        inst["arg2"]["start"], inst["arg2"]["end"],
+    )
+
+
+def _dedup_cap(insts: list[dict]) -> list[dict]:
+    """Set semantics (ExtractionGroup.scala:45) + deterministic order
+    (confidence desc, then text) + the 40k cap."""
+    seen = set()
+    out = []
+    for inst in sorted(insts, key=_inst_sort_key):
+        sig = _inst_sig(inst)
+        if sig in seen:
+            continue
+        seen.add(sig)
+        out.append(inst)
+        if len(out) >= MAX_GROUP_INSTANCES:
+            break
+    return out
+
+
+def combine_batch(batch: pa.Table) -> pa.Table:
+    """Map-side combiner: one partial-group row per key per batch."""
+    if batch.num_rows == 0:
+        return BLOB_GROUPS.empty_table()
+    cols = {c: batch[c].to_pylist() for c in _INSTANCE_COLS}
+    keys = batch["key"].to_pylist()
+    a1n = batch["arg1_norm"].to_pylist()
+    rln = batch["rel_norm"].to_pylist()
+    a2n = batch["arg2_norm"].to_pylist()
+    by_key: dict[str, list[int]] = {}
+    for i, k in enumerate(keys):
+        by_key.setdefault(k, []).append(i)
+    out = {k2: [] for k2 in
+           ("key", "arg1_norm", "rel_norm", "arg2_norm",
+            "instances_blob", "size")}
+    for k, idxs in by_key.items():
+        insts = [
+            {c: cols[c][i] for c in _INSTANCE_COLS}
+            for i in idxs[:MAX_GROUP_INSTANCES]
+        ]
+        insts = _dedup_cap(insts)
+        i0 = idxs[0]
+        out["key"].append(k)
+        out["arg1_norm"].append(a1n[i0])
+        out["rel_norm"].append(rln[i0])
+        out["arg2_norm"].append(a2n[i0])
+        out["instances_blob"].append(pickle.dumps(insts, protocol=4))
+        out["size"].append(len(insts))
+    return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
+
+
+def merge_blob_groups(t: pa.Table) -> pa.Table:
+    """Reduce side: concat one key's partial groups (cheap: blobs only)."""
+    if t.num_rows > MAX_RAW_GROUP:
+        return BLOB_GROUPS.empty_table()
+    if t.num_rows == 1:
+        return t
+    insts: list[dict] = []
+    for blob in t["instances_blob"].to_pylist():
+        insts.extend(pickle.loads(blob))
+    insts = _dedup_cap(insts)
+    return pa.Table.from_pydict(
+        {
+            "key": [t["key"][0].as_py()],
+            "arg1_norm": [t["arg1_norm"][0].as_py()],
+            "rel_norm": [t["rel_norm"][0].as_py()],
+            "arg2_norm": [t["arg2_norm"][0].as_py()],
+            "instances_blob": [pickle.dumps(insts, protocol=4)],
+            "size": [len(insts)],
+        },
+        schema=BLOB_GROUPS,
+    )
+
+
+def finalize_groups(batch: pa.Table) -> pa.Table:
+    """Blob rows -> Arrow GROUPS schema (one nested conversion per batch)."""
+    n = batch.num_rows
+    if n == 0:
+        return S.GROUPS.empty_table()
+    inst_lists = [pickle.loads(b) for b in batch["instances_blob"].to_pylist()]
+    return pa.Table.from_pydict(
+        {
+            "arg1_norm": batch["arg1_norm"].to_pylist(),
+            "rel_norm": batch["rel_norm"].to_pylist(),
+            "arg2_norm": batch["arg2_norm"].to_pylist(),
+            "arg1_entity": [None] * n,
+            "arg2_entity": [None] * n,
+            "arg1_types": [[] for _ in range(n)],
+            "arg2_types": [[] for _ in range(n)],
+            "instances": inst_lists,
+            "size": [len(x) for x in inst_lists],
+            "corpora": [sorted({i["corpus"] for i in x}) for x in inst_lists],
+        },
+        schema=S.GROUPS,
+    )
+
+
+def group_extractions(
+    keyed_ds,
+    combine_batch_size: int = 4096,
+    finalize: bool = True,
+):
+    """keyed extraction Dataset -> groups Dataset (G1): combiner ->
+    single shuffle -> (optionally) finalize to the Arrow GROUPS schema.
+
+    ``finalize=False`` keeps the blob representation for downstream
+    per-group stages (linker G3/G4) that would otherwise re-convert."""
+    partial = keyed_ds.map_batches(
+        combine_batch, batch_format="pyarrow", batch_size=combine_batch_size
+    )
+    merged = partial.groupby("key").map_groups(
+        merge_blob_groups, batch_format="pyarrow"
+    )
+    if finalize:
+        return merged.map_batches(finalize_groups, batch_format="pyarrow")
+    return merged
