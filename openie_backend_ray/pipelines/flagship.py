@@ -32,12 +32,13 @@ from openie_backend_ray.stages.chunker import ChunkerActor
 from openie_backend_ray.stages.extractor import extract_batch
 from openie_backend_ray.stages.grouper import group_extractions
 from openie_backend_ray.stages.sentences import explode_text_spans
+from openie_backend_ray.util import auto_pool
 
 
 def chunk_documents(
     docs_ds: ray.data.Dataset,
     lexicon_ref: Any | None = None,
-    chunker_concurrency: int | tuple[int, int] = 2,
+    chunker_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ) -> ray.data.Dataset:
     """documents -> chunked sentences (M1)."""
@@ -49,7 +50,7 @@ def chunk_documents(
         fn_constructor_kwargs={"lexicon_ref": lexicon_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=chunker_concurrency,
+        concurrency=chunker_concurrency or auto_pool(0.5),
     )
 
 
@@ -57,7 +58,7 @@ def extract_and_group(
     docs_ds: ray.data.Dataset,
     lexicon_ref: Any | None = None,
     corpus: str = "corpus",
-    chunker_concurrency: int | tuple[int, int] = 2,
+    chunker_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ) -> ray.data.Dataset:
     """documents -> grouped (unlinked) ExtractionGroups (M1,M2,M5,M6,G1)."""
@@ -70,3 +71,61 @@ def extract_and_group(
         batch_size=batch_size,
     )
     return group_extractions(keyed)
+
+
+def run_flagship(
+    docs_ds: ray.data.Dataset,
+    lexicon_ref: Any | None = None,
+    side_tables_ref: Any | None = None,
+    corpus: str = "corpus",
+    chunker_concurrency: int | tuple[int, int] | None = None,
+    linker_concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 1024,
+    dedup: bool = True,
+    do_filter: bool = False,
+    do_canonicalize: bool = False,
+) -> ray.data.Dataset:
+    """Full pipeline: documents -> linked (optionally deduped / filtered /
+    canonicalized) ExtractionGroups.
+
+    Defaults mirror the reference fixture provenance (test-groups.txt is
+    grouper+linker output, pre-filter); filters and canonicalization are
+    separate profiles, like the reference's separately-invoked jobs."""
+    from openie_backend_ray.stages.canonicalize import canonicalize
+    from openie_backend_ray.stages.grouper import finalize_groups
+    from openie_backend_ray.stages.linker import link_groups
+    from openie_backend_ray.stages.postprocess import (
+        dedup_groups_batch,
+        filter_groups_batch,
+    )
+
+    chunked = chunk_documents(
+        docs_ds, lexicon_ref, chunker_concurrency, batch_size
+    )
+    keyed = chunked.map_batches(
+        lambda b: extract_batch(b, corpus=corpus),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    blobs = group_extractions(keyed, finalize=False)
+    if side_tables_ref is not None:
+        groups = link_groups(blobs, side_tables_ref, linker_concurrency)
+    else:
+        groups = blobs.map_batches(finalize_groups, batch_format="pyarrow")
+    if dedup:
+        groups = groups.map_batches(dedup_groups_batch, batch_format="pyarrow")
+    if do_filter:
+        groups = groups.map_batches(filter_groups_batch, batch_format="pyarrow")
+    if do_canonicalize:
+        groups = canonicalize(groups)
+    return groups
+
+
+def materialize_triples(groups_ds: ray.data.Dataset, out_dir: str) -> None:
+    """S4: the triples table — groups sorted by the normalized triple,
+    written as partitioned Parquet (the query-layer contract fields of
+    ``backend/.../ReVerbDocumentConverter.scala:22-88``: norms, entities,
+    types, size, corpora, full instances as provenance)."""
+    groups_ds.sort(["arg1_norm", "rel_norm", "arg2_norm"]).write_parquet(
+        out_dir
+    )

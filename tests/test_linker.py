@@ -1,0 +1,100 @@
+"""Linker conformance: head-phrase port, lnrm, and E2E link recall
+against the fixture entities over synthesized side tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from openie_backend_ray.functions.headphrase import head_phrase
+from openie_backend_ray.functions.lnrm import lnrm
+
+
+def test_lnrm():
+    assert lnrm("Café au Lait!") == "cafeaulait"
+    assert lnrm("  Nikola  Tesla ") == "nikolatesla"
+    assert lnrm("naïve") == "naive"
+
+
+def test_head_phrase_strips_and_truncates():
+    yes = lambda s: True
+    # "(DT) of" prefix strip
+    assert head_phrase(
+        ["one", "of", "the", "presidents"], ["CD", "IN", "DT", "NNS"], yes
+    ) == "presidents"
+    # truncate at preposition, keep after
+    assert head_phrase(
+        ["king", "of", "Spain"], ["NN", "IN", "NNP"], yes
+    ) == "Spain"
+    # post-modifier cut after last noun + determiner removal
+    assert head_phrase(
+        ["the", "red", "car", "quickly"], ["DT", "JJ", "NN", "RB"], yes
+    ) == "red car"
+
+
+def test_head_phrase_shrinks_to_candidates():
+    known = {"tesla"}
+    probe = lambda s: s.lower() in known
+    assert head_phrase(
+        ["nikola", "tesla"], ["NNP", "NNP"], probe
+    ) == "tesla"
+
+
+@pytest.fixture(scope="module")
+def linked(ray_session):
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from openie_backend_ray.fixtures.corpus import (
+        build_chunker_lexicon,
+        build_documents,
+    )
+    from openie_backend_ray.fixtures.side_tables import build_side_tables
+    from openie_backend_ray.pipelines.flagship import run_flagship
+
+    docs = build_documents()
+    lex_ref = ray.put(build_chunker_lexicon())
+    st_ref = ray.put(build_side_tables())
+    ds = rd.from_arrow(docs).repartition(16)
+    return run_flagship(
+        ds, lexicon_ref=lex_ref, side_tables_ref=st_ref, corpus="cw"
+    ).to_pandas()
+
+
+def test_entity_link_recall(linked):
+    """>=95% of fixture entity links are reproduced (same fbid) on the
+    triples the pipeline matches, with the linker mechanism running for
+    real: crosswikis prior cutoffs -> cprob*log(inlinks)*ctx ranking
+    over distractors -> type attach."""
+    from openie_backend_ray.fixtures.conformance import clean_groups
+
+    exp = {
+        (g.arg1_norm, g.rel_norm, g.arg2_norm): (g.arg1_entity, g.arg2_entity)
+        for g in clean_groups()
+    }
+    tot = hit = 0
+    for row in linked.itertuples():
+        key = (row.arg1_norm, row.rel_norm, row.arg2_norm)
+        if key not in exp:
+            continue
+        for got, want in (
+            (row.arg1_entity, exp[key][0]),
+            (row.arg2_entity, exp[key][1]),
+        ):
+            if want is not None:
+                tot += 1
+                if got is not None and got["fbid"] == want[1]:
+                    hit += 1
+    assert tot > 300
+    assert hit / tot >= 0.95
+
+
+def test_types_attached(linked):
+    n_typed = sum(
+        1
+        for row in linked.itertuples()
+        if (row.arg1_entity is not None and len(row.arg1_types) > 0)
+        or (row.arg2_entity is not None and len(row.arg2_types) > 0)
+    )
+    assert n_typed > 100
