@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the training-data operators (dedup / similarity /
+text-analysis / multimodal); ``oracle_sql()`` gives each
+SQL-expressible query its DuckDB twin over the same parquet views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
+
+Parity notes (why values hash-match across engines):
+- every cross-engine hash uses md5 (python hashlib == DuckDB md5());
+- ratios are single int/int float64 divisions (bit-identical IEEE),
+  never round()ed (numpy half-even vs DuckDB half-up differ);
+- money/value sums are int64 cents/micros (distributed-sum exact);
+- cosine scores are round(x, 6) on BOTH sides (the only tolerated FP
+  fuzz: summation order differs between numpy matmul and DuckDB).
 """
 
 from __future__ import annotations
@@ -18,27 +23,445 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# keep in sync with openie_backend_ray.ops.textstats.STOPWORDS
+_STOP_SQL = (
+    "['the','a','an','of','in','on','and','or','to','is','are','was',"
+    "'for','with','by','at','as','that','this','it','be']"
+)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns
+    )
+
+
+def _interleaved_docs(sf_dir: str):
+    from openie_backend_ray.sources.interleaved import interleave_flat
+
+    return interleave_flat(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# flagship KG pipeline
+# ---------------------------------------------------------------------------
+
+def _flagship(sf_dir: str):
+    """Interleaved docs (from the flat table) + the golden fixture corpus
+    -> extraction groups -> linked, deduped triples. The fixture corpus
+    supplies linguistically real sentences (the sf documents are word
+    salad); the sf docs still flow through every stage, exercising the
+    span plumbing at scale."""
+    import ray
+
+    from openie_backend_ray.fixtures.corpus import (
+        build_chunker_lexicon,
+        build_documents,
+    )
+    from openie_backend_ray.fixtures.side_tables import build_side_tables
+    from openie_backend_ray.pipelines.flagship import run_flagship
+
+    sf_docs = _interleaved_docs(sf_dir)
+    fixture_docs = ray.data.from_arrow(build_documents()).repartition(8)
+    docs = sf_docs.union(fixture_docs)
+    lex_ref = ray.put(build_chunker_lexicon())
+    st_ref = ray.put(build_side_tables())
+    groups = run_flagship(
+        docs, lexicon_ref=lex_ref, side_tables_ref=st_ref, corpus="cw"
+    )
+    return groups
+
+
+def _flagship_triples(sf_dir: str):
+    """Projection without the nested provenance columns (stable scalar
+    schema for the driver's rows-only check)."""
+    import pyarrow as pa
+
+    groups = _flagship(sf_dir)
+    return groups.map_batches(
+        lambda b: pa.table(
+            {
+                "arg1_norm": b["arg1_norm"],
+                "rel_norm": b["rel_norm"],
+                "arg2_norm": b["arg2_norm"],
+                "size": b["size"],
+                "arg1_linked": pa.array(
+                    [e is not None for e in b["arg1_entity"].to_pylist()],
+                    pa.bool_(),
+                ),
+                "arg2_linked": pa.array(
+                    [e is not None for e in b["arg2_entity"].to_pylist()],
+                    pa.bool_(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _flagship_triples(SF_SMOKE)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from openie_backend_ray.ops import dedup as D
+    from openie_backend_ray.ops import multimodal as MM
+    from openie_backend_ray.ops import relational as R
+    from openie_backend_ray.ops import similarity as SIM
+    from openie_backend_ray.ops import textstats as TS
+    from openie_backend_ray.stages.sentences import explode_text_spans
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_explode_text_spans(sf_dir: str):
+        return _interleaved_docs(sf_dir).map_batches(
+            explode_text_spans, batch_format="pyarrow"
+        )
+
+    def q_media_spans(sf_dir: str):
+        return _interleaved_docs(sf_dir).map_batches(
+            MM.explode_media_spans, batch_format="pyarrow"
+        )
+
+    def q_token_stats(sf_dir: str):
+        return TS.token_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_quality_score(sf_dir: str):
+        return TS.quality_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_lang_id(sf_dir: str):
+        return TS.lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_fingerprint(sf_dir: str):
+        return TS.fingerprint(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_dedup_exact(sf_dir: str):
+        return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_dedup_minhash_pairs(sf_dir: str):
+        return D.minhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_ngram_jaccard(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        docs_tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        docs_ref = ray.put(docs_tbl)
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return D.ngram_jaccard_pairs(ds, docs_ref, threshold=0.5)
+
+    def q_simhash(sf_dir: str):
+        return D.simhash(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def q_simhash_pairs(sf_dir: str):
+        return D.simhash_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+        )
+
+    def q_embedding_pairs(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        mat_ref = ray.put(D.normalized_matrix(emb))
+        return D.embedding_pairs(
+            _read(sf_dir, "embeddings"), mat_ref, threshold=0.35
+        )
+
+    def q_ann_topk(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        q_ref = ray.put(SIM.query_matrix(emb, 10))
+        return SIM.ann_topk(_read(sf_dir, "embeddings"), q_ref, k=10)
+
+    def q_ann_ivf(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        q_ref = ray.put(SIM.query_matrix(emb, 10))
+        c_ref = ray.put(SIM.centroid_matrix(emb, 16))
+        return SIM.ann_ivf(
+            _read(sf_dir, "embeddings"), q_ref, c_ref, k=10, nprobe=4
+        )
+
+    def q_pricing_summary(sf_dir: str):
+        return R.pricing_summary(_read(sf_dir, "lineitem"))
+
+    def q_segment_revenue(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        cust_ref = ray.put(R.customer_segment_map(cust))
+        return R.segment_revenue(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), cust_ref
+        )
+
+    def q_top_parts(sf_dir: str):
+        return R.top_parts_by_quantity(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]), k=10
+        )
+
+    def q_events_daily(sf_dir: str):
+        return R.events_daily(
+            _read(sf_dir, "events", ["user_id", "ts", "value"])
+        )
+
+    def q_hash_sample(sf_dir: str):
+        return R.hash_sample(
+            _read(sf_dir, "documents", ["doc_id", "text"]), key="doc_id"
+        )
+
+    def q_media_features(sf_dir: str):
+        return MM.media_features(_interleaved_docs(sf_dir))
+
+    return {
+        "explode_text_spans": q_explode_text_spans,
+        "media_spans": q_media_spans,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_pairs": q_embedding_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "top_parts": q_top_parts,
+        "events_daily": q_events_daily,
+        "hash_sample": q_hash_sample,
+        "flagship_triples": _flagship_triples,
+        "media_features": q_media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(text, '\s+')"
+
+# doc -> distinct 3-token shingles (k matches ops.dedup.SHINGLE_K)
+_SHINGLES_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+         END AS shingles
+  FROM t)
+"""
+
+# shingles -> 12-perm minhash signature -> 4 LSH band buckets -> pairs
+_MINHASH_CTE = _SHINGLES_CTE + """,
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 12),
+           p -> list_min(list_transform(shingles,
+                  s -> md5(p || ':' || s)))) AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(sig[b.b*3+1] || '|' || sig[b.b*3+2] || '|' || sig[b.b*3+3])
+           AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+"""
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "explode_text_spans": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS span_idx,
+                   text
+            FROM documents
+        """,
+        "media_spans": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(0 AS INTEGER) AS span_idx,
+                   'image' AS kind,
+                   'media://image/' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "token_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                   CAST(len(list_filter(toks,
+                          x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                     / len(toks) AS stopword_ratio
+            FROM t
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+                       / len(toks) AS mean_token_len,
+                     CAST(len(list_filter(toks,
+                            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len(toks) AS stopword_ratio
+              FROM t)
+            SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+                   (n_tokens >= 10 AND n_tokens <= 10000
+                    AND stopword_ratio <= 0.5) AS keep
+            FROM s
+        """,
+        "fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 5
+                        THEN md5(array_to_string(toks, ' '))
+                        ELSE list_min(list_transform(
+                               range(1, len(toks) - 3),
+                               i -> md5(array_to_string(toks[i:i+4], ' '))))
+                   END AS fingerprint
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH {_MINHASH_CTE}
+            SELECT doc_a, doc_b FROM cand
+        """,
+        "ngram_jaccard": f"""
+            WITH {_MINHASH_CTE}
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles))
+                        AS DOUBLE)
+                     / len(list_distinct(sa.shingles || sb.shingles))
+                     AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+            WHERE CAST(len(list_intersect(sa.shingles, sb.shingles))
+                       AS DOUBLE)
+                    / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+        """,
+        "embedding_pairs": f"""
+            WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+        """,
+        "ann_topk": f"""
+            WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+            q AS (SELECT vec_id AS qvec_id, e AS qe FROM v
+                  WHERE vec_id < 10),
+            s AS (SELECT q.qvec_id, v.vec_id,
+                         round(list_cosine_similarity(q.qe, v.e), 6)
+                           AS score
+                  FROM q CROSS JOIN v WHERE v.vec_id != q.qvec_id)
+            SELECT qvec_id, vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY qvec_id ORDER BY score DESC, vec_id)
+                     AS INTEGER) AS rank,
+                   score
+            FROM s
+            QUALIFY rank <= 10
+        """,
+        "ann_ivf": f"""
+            WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+            c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+            q AS (SELECT vec_id AS qvec_id, e AS qe FROM v
+                  WHERE vec_id < 10),
+            assign AS (
+              SELECT vec_id, e, cid AS bucket FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_cosine_similarity(v.e, c.ce),
+                                        6) DESC, c.cid) AS rn
+                FROM v CROSS JOIN c) WHERE rn = 1),
+            probes AS (
+              SELECT qvec_id, cid FROM (
+                SELECT q.qvec_id, c.cid,
+                       row_number() OVER (PARTITION BY q.qvec_id
+                         ORDER BY round(list_cosine_similarity(q.qe, c.ce),
+                                        6) DESC, c.cid) AS rn
+                FROM q CROSS JOIN c) WHERE rn <= 4),
+            s AS (
+              SELECT q.qvec_id, a.vec_id,
+                     round(list_cosine_similarity(q.qe, a.e), 6) AS score
+              FROM q JOIN probes p ON p.qvec_id = q.qvec_id
+                     JOIN assign a ON a.bucket = p.cid
+              WHERE a.vec_id != q.qvec_id)
+            SELECT qvec_id, vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY qvec_id ORDER BY score DESC, vec_id)
+                     AS INTEGER) AS rank,
+                   score
+            FROM s
+            QUALIFY rank <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS row_count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_price_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_parts": """
+            SELECT l_partkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY total_qty DESC, l_partkey LIMIT 10
+        """,
+        "events_daily": """
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                        AS BIGINT) AS sum_value_micros
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "hash_sample": """
+            SELECT doc_id, text FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '4'
+        """,
+        # lang_id, simhash, simhash_pairs, flagship_triples,
+        # media_features: deliberately omitted (non-SQL-expressible:
+        # heuristic language profiles, 64-bit sign accumulation, the KG
+        # extraction pipeline, sha256 payload synthesis) -> driver
+        # records the weaker rows-only check for those.
+    }

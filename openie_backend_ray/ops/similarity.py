@@ -1,0 +1,209 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``ann_topk``: exact brute-force cosine top-k — the correctness
+  baseline. The query matrix (small side) is broadcast once via
+  ``ray.put``; every batch does one float64 numpy matmul against it and
+  emits only its LOCAL top-k per query (k rows per query per batch, not
+  n rows), so the final exchange is a tiny per-query reduce.
+- ``ann_ivf``: the scale path — coarse quantizer (fixed deterministic
+  centroids), vectors hash-partition by nearest-centroid id; queries
+  search only their ``nprobe`` nearest buckets. Same output schema.
+
+Scores are rounded to 6dp so the DuckDB ``list_cosine_similarity``
+oracle compares exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class TopKScorer:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref=None, queries=None, k: int = 10):
+        if queries is None and queries_ref is not None:
+            import ray
+
+            queries = ray.get(queries_ref)
+        self.q_ids, self.q_mat = queries  # (m,), (m, d) float64 normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _norm_rows(np.array(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        sims = self.q_mat @ mat.T  # (m, n)
+        k = min(self.k + 1, sims.shape[1])  # +1: self-match may be present
+        out_q, out_v, out_s = [], [], []
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            qid = self.q_ids[qi]
+            for ci in part[qi]:
+                if ids[ci] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(ids[ci])
+                out_s.append(sims[qi, ci])
+        return pa.table(
+            {"qvec_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_v, pa.int64()),
+             "score": pa.array(np.round(out_s, 6), pa.float64())}
+        )
+
+
+def _final_topk(k: int):
+    def reduce_group(t: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(t["score"].to_pylist(), t["vec_id"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )[:k]
+        n = len(rows)
+        return pa.table(
+            {"qvec_id": pa.array([t["qvec_id"][0].as_py()] * n, pa.int64()),
+             "vec_id": pa.array([v for _, v in rows], pa.int64()),
+             "rank": pa.array(list(range(1, n + 1)), pa.int32()),
+             "score": pa.array([s for s, _ in rows], pa.float64())}
+        )
+
+    return reduce_group
+
+
+def ann_topk(emb_ds, queries_ref, k: int = 10):
+    """(qvec_id, vec_id, rank, score): exact top-k neighbors (self
+    excluded) for each broadcast query; rank ties break on vec_id."""
+    local = emb_ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=_pool(),
+    )
+    return local.groupby("qvec_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )
+
+
+def _pool():
+    from openie_backend_ray.util import auto_pool
+
+    return auto_pool(0.5)
+
+
+def query_matrix(emb_table: pa.Table, n_queries: int = 10):
+    """Deterministic query set: the ``n_queries`` lowest vec_ids,
+    normalized float64 — broadcast via ray.put."""
+    import pyarrow.compute as pc
+
+    mask = pc.less(emb_table["vec_id"], n_queries)
+    sub = emb_table.filter(mask)
+    order = np.argsort(np.asarray(sub["vec_id"].to_pylist()))
+    ids = np.asarray(sub["vec_id"].to_pylist(), dtype=np.int64)[order]
+    mat = np.array(sub["embedding"].to_pylist(), dtype=np.float64)[order]
+    return ids, _norm_rows(mat)
+
+
+# ---------------------------------------------------------------------------
+# IVF variant (scale path)
+# ---------------------------------------------------------------------------
+
+def centroid_matrix(emb_table: pa.Table, n_centroids: int = 16):
+    """Deterministic coarse quantizer: embeddings of the ``n_centroids``
+    lowest vec_ids act as centroids (no kmeans iteration — the point is
+    the partitioned search shape, and determinism for the oracle)."""
+    return query_matrix(emb_table, n_centroids)
+
+
+class IvfAssigner:
+    def __init__(self, centroids_ref=None, centroids=None):
+        if centroids is None and centroids_ref is not None:
+            import ray
+
+            centroids = ray.get(centroids_ref)
+        _, self.c_mat = centroids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _norm_rows(np.array(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        sims = mat @ self.c_mat.T
+        assign = np.asarray(np.argmax(np.round(sims, 6), axis=1),
+                            dtype=np.int32)
+        return batch.append_column("bucket", pa.array(assign, pa.int32()))
+
+
+def _ivf_bucket_scorer(queries, centroids, k: int, nprobe: int):
+    """Per-bucket scorer closure: queries whose nprobe-nearest centroids
+    include the group's bucket score only that bucket's vectors. The
+    probe table is tiny (m x nprobe), so closure capture — shipped with
+    the task spec — beats an actor pool here."""
+    q_ids, q_mat = queries
+    _, c_mat = centroids
+    sims = np.round(q_mat @ c_mat.T, 6)
+    order = np.argsort(-sims, axis=1, kind="stable")
+    probe: dict[int, list[int]] = {}
+    for qi in range(order.shape[0]):
+        for b in order[qi, :nprobe]:
+            probe.setdefault(int(b), []).append(qi)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bucket = batch["bucket"][0].as_py()
+        q_idx = probe.get(bucket, [])
+        if not q_idx:
+            return pa.table(
+                {"qvec_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _norm_rows(np.array(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        bsims = q_mat[q_idx] @ mat.T
+        out_q, out_v, out_s = [], [], []
+        for row, qi in enumerate(q_idx):
+            qid = q_ids[qi]
+            kk = min(k + 1, bsims.shape[1])
+            part = np.argpartition(-bsims[row], kk - 1)[:kk]
+            for ci in part:
+                if ids[ci] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(ids[ci])
+                out_s.append(bsims[row, ci])
+        return pa.table(
+            {"qvec_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_v, pa.int64()),
+             "score": pa.array(np.round(out_s, 6), pa.float64())}
+        )
+
+    return score
+
+
+def ann_ivf(emb_ds, queries_ref, centroids_ref, k: int = 10,
+            nprobe: int = 4):
+    """IVF-partitioned ANN: assign -> groupby(bucket) -> per-bucket
+    scoring -> per-query reduce. Recall < 1 by design (probes nprobe of
+    the buckets); deterministic, so still oracle-checkable."""
+    import ray
+
+    assigned = emb_ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": centroids_ref},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    scorer = _ivf_bucket_scorer(
+        ray.get(queries_ref), ray.get(centroids_ref), k, nprobe
+    )
+    scored = assigned.groupby("bucket").map_groups(
+        scorer, batch_format="pyarrow"
+    )
+    return scored.groupby("qvec_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )

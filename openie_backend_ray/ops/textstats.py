@@ -49,7 +49,11 @@ def _tokens_frame(batch: pa.Table) -> pd.DataFrame:
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """Per-doc token stats: n_tokens, n_types, stopword_ratio(6dp)."""
+    """Per-doc token stats: n_tokens, n_types, stopword_ratio.
+
+    The ratio is a single int/int float64 division — deliberately NOT
+    rounded: one IEEE division is bit-identical in every engine, while
+    round() semantics differ (numpy half-even vs DuckDB half-up)."""
     if batch.num_rows == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
@@ -65,7 +69,7 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
         n_types=("token", "nunique"),
         n_stop=("is_stop", "sum"),
     ).reset_index()
-    ratio = (agg["n_stop"] / agg["n_tokens"]).round(6)
+    ratio = agg["n_stop"] / agg["n_tokens"]
     return pa.table(
         {
             "doc_id": pa.array(agg["doc_id"], pa.int64()),
@@ -99,7 +103,8 @@ def quality_score_batch(
     idx = [order[d] for d in stats["doc_id"].to_pylist()]
     n_tok = stats["n_tokens"].to_numpy()
     # mean token length over single-space text: (chars - (n-1)) / n
-    mean_len = np.round((chars[idx] - (n_tok - 1)) / n_tok, 6)
+    # (raw division — see token_stats_batch on rounding)
+    mean_len = (chars[idx] - (n_tok - 1)) / n_tok
     ratio = stats["stopword_ratio"].to_numpy()
     keep = (n_tok >= min_tokens) & (n_tok <= max_tokens) & (ratio <= max_stop_ratio)
     return pa.table(
