@@ -230,6 +230,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_media_features(sf_dir: str):
         return MM.media_features(_interleaved_docs(sf_dir))
 
+    # -- post-group KG operators over the golden fixture groups table
+    # (rows-only checks: the GROUPS input is not a SQL view) ---------
+    def _fixture_groups_ds(_sf_dir: str):
+        import ray.data
+
+        from openie_backend_ray.fixtures.corpus import build_groups_table
+
+        return ray.data.from_arrow(build_groups_table()).repartition(8)
+
+    def q_extreme_filter(sf_dir: str):
+        import pyarrow as pa
+
+        from openie_backend_ray.stages.postgroup import extreme_filter
+
+        out = extreme_filter(_fixture_groups_ds(sf_dir))
+        return out.map_batches(
+            lambda b: pa.table({"arg1_norm": b["arg1_norm"],
+                                "rel_norm": b["rel_norm"],
+                                "arg2_norm": b["arg2_norm"],
+                                "size": b["size"]}),
+            batch_format="pyarrow",
+        )
+
+    def q_head_phrases(sf_dir: str):
+        from openie_backend_ray.stages.postgroup import head_phrases
+
+        return head_phrases(_fixture_groups_ds(sf_dir))
+
+    def q_answer_projections(sf_dir: str):
+        from openie_backend_ray.stages.postgroup import answer_projections
+
+        return answer_projections(_fixture_groups_ds(sf_dir))
+
+    def q_regroup(sf_dir: str):
+        import pyarrow as pa
+
+        from openie_backend_ray.stages.postgroup import regroup
+
+        out = regroup(_fixture_groups_ds(sf_dir))
+        return out.map_batches(
+            lambda b: pa.table({"arg1_norm": b["arg1_norm"],
+                                "rel_norm": b["rel_norm"],
+                                "arg2_norm": b["arg2_norm"],
+                                "size": b["size"]}),
+            batch_format="pyarrow",
+        )
+
+    def q_inlink_ratio(sf_dir: str):
+        from openie_backend_ray.stages.postgroup import inlink_ratio
+
+        return inlink_ratio(_fixture_groups_ds(sf_dir))
+
+    def q_arg_pairs(sf_dir: str):
+        from openie_backend_ray.stages.postgroup import arg_pairs
+
+        return arg_pairs(_fixture_groups_ds(sf_dir))
+
+    def q_renormalize(sf_dir: str):
+        import pyarrow as pa
+
+        from openie_backend_ray.stages.postgroup import renormalize
+
+        out = renormalize(_fixture_groups_ds(sf_dir))
+        return out.map_batches(
+            lambda b: pa.table({"arg1_norm": b["arg1_norm"],
+                                "rel_norm": b["rel_norm"],
+                                "arg2_norm": b["arg2_norm"],
+                                "size": b["size"]}),
+            batch_format="pyarrow",
+        )
+
+    def q_type_predictions(sf_dir: str):
+        from openie_backend_ray.stages.typer import (
+            TyperSettings,
+            predict_arg_types,
+        )
+
+        # fixture-scale thresholds (the production defaults need web
+        # scale group counts per rel to fire)
+        settings = TyperSettings(arg_field="arg1", min_share_score=2,
+                                 min_rel_weight=0.05)
+        preds = predict_arg_types(_fixture_groups_ds(sf_dir), settings)
+        import pyarrow as pa
+
+        return preds.map_batches(
+            lambda b: pa.table({"arg_norm": b["arg_norm"],
+                                "types": b["types"]}),
+            batch_format="pyarrow",
+        )
+
     return {
         "explode_text_spans": q_explode_text_spans,
         "media_spans": q_media_spans,
@@ -252,6 +342,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
+        "extreme_filter": q_extreme_filter,
+        "head_phrases": q_head_phrases,
+        "answer_projections": q_answer_projections,
+        "regroup": q_regroup,
+        "inlink_ratio": q_inlink_ratio,
+        "arg_pairs": q_arg_pairs,
+        "renormalize": q_renormalize,
+        "type_predictions": q_type_predictions,
     }
 
 

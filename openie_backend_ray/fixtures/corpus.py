@@ -133,3 +133,49 @@ def write_chunker_lexicon(out_dir: str) -> str:
     path = os.path.join(out_dir, "chunker_lexicon.parquet")
     pq.write_table(build_chunker_lexicon(), path)
     return path
+
+
+def build_groups_table() -> pa.Table:
+    """Clean golden groups as an Arrow GROUPS table (no pipeline run) —
+    the direct input for post-group operator tests/queries (typer,
+    extreme filter, regroup, projections)."""
+    from openie_backend_ray.fixtures.conformance import clean_groups
+
+    rows = []
+    for g in clean_groups():
+        insts = [
+            {
+                "tokens": e.tokens,
+                "postags": e.postags,
+                "chunks": e.chunks,
+                "arg1": {"start": e.arg1[0], "end": e.arg1[1]},
+                "rel": {"start": e.rel[0], "end": e.rel[1]},
+                "arg2": {"start": e.arg2[0], "end": e.arg2[1]},
+                "source_url": e.source_url,
+                "corpus": e.corpus or "cw",
+                "confidence": e.confidence if e.confidence >= 0 else 0.9,
+            }
+            for e in g.instances
+        ]
+        def ent(t):
+            if t is None:
+                return None
+            return {"name": t[0], "fbid": t[1], "score": t[2],
+                    "inlink_ratio": t[3]}
+        rows.append(
+            {
+                "arg1_norm": g.arg1_norm,
+                "rel_norm": g.rel_norm,
+                "arg2_norm": g.arg2_norm,
+                "arg1_entity": ent(g.arg1_entity),
+                "arg2_entity": ent(g.arg2_entity),
+                "arg1_types": list(g.arg1_types),
+                "arg2_types": list(g.arg2_types),
+                "instances": insts,
+                "size": len(insts),
+                "corpora": sorted({i["corpus"] for i in insts}),
+            }
+        )
+    return pa.Table.from_pydict(
+        {k: [r[k] for r in rows] for k in rows[0]}, schema=S.GROUPS
+    )

@@ -1,0 +1,172 @@
+"""Training-data ops: unit tests on Arrow batches + oracle parity spot
+checks against DuckDB at sf0.001 (the same comparison the driver runs)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_batch():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat",
+                    "the cat sat on the mat",
+                    "a completely different sentence here now",
+                ]
+            ),
+        }
+    )
+
+
+def test_token_stats_batch():
+    from openie_backend_ray.ops.textstats import token_stats_batch
+
+    out = token_stats_batch(_docs_batch())
+    assert out["n_tokens"].to_pylist() == [6, 6, 6]
+    assert out["n_types"].to_pylist() == [5, 5, 6]
+    # "the" twice + "on" -> 3/6
+    assert out["stopword_ratio"].to_pylist()[0] == pytest.approx(0.5)
+
+
+def test_fingerprint_matches_duplicate_texts():
+    from openie_backend_ray.ops.textstats import fingerprint_batch
+
+    out = fingerprint_batch(_docs_batch())
+    fps = out["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+    assert len(fps[0]) == 32
+
+
+def test_simhash_near_duplicates_close():
+    from openie_backend_ray.ops.dedup import simhash_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta iota",
+                    "one two three four five six seven eight",
+                ]
+            ),
+        }
+    )
+    out = simhash_batch(t)
+    h = [int(x, 16) for x in out["simhash"].to_pylist()]
+    d12 = bin(h[0] ^ h[1]).count("1")
+    d13 = bin(h[0] ^ h[2]).count("1")
+    assert d12 < d13
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from openie_backend_ray.ops.dedup import minhash_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "the quick brown fox jumps over the lazy dog tonight",
+                    "completely unrelated text with other words entirely",
+                    "yet another disjoint document about nothing shared",
+                ]
+            ),
+        }
+    )
+    pairs = minhash_pairs(rd.from_arrow(t)).to_pandas()
+    assert (1, 2) in set(zip(pairs.doc_a, pairs.doc_b))
+    assert all((a, b) != (3, 4) for a, b in zip(pairs.doc_a, pairs.doc_b))
+
+
+def test_media_features_deterministic(ray_session):
+    import ray.data as rd
+
+    from openie_backend_ray import schema as S
+    from openie_backend_ray.ops.multimodal import FEATURE_DIM, media_features
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["d1"], pa.string()),
+            "spans": pa.array(
+                [[
+                    {"kind": "image", "text": "", "media_ref": "media://image/1",
+                     "offset": 0},
+                    {"kind": "text", "text": "hello world", "media_ref": "",
+                     "offset": 1},
+                    {"kind": "audio", "text": "", "media_ref": "media://audio/2",
+                     "offset": 2},
+                ]],
+                pa.list_(S.SPAN),
+            ),
+        }
+    )
+    out1 = media_features(rd.from_arrow(docs)).to_pandas()
+    out2 = media_features(rd.from_arrow(docs)).to_pandas()
+    assert len(out1) == 2  # text span excluded
+    assert set(out1.kind) == {"image", "audio"}
+    assert all(len(f) == FEATURE_DIM for f in out1.feature)
+    pd.testing.assert_frame_equal(
+        out1.sort_values("span_idx").reset_index(drop=True),
+        out2.sort_values("span_idx").reset_index(drop=True),
+    )
+
+
+def test_real_decoder_is_stubbed():
+    from openie_backend_ray.ops.multimodal import RealDecoder
+
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_exact", "ann_topk", "pricing_summary", "events_daily",
+     "fingerprint"],
+)
+def test_oracle_parity_spot(ray_session, name):
+    """Same comparison the driver runs: row count + sorted columns +
+    order-insensitive values vs the DuckDB oracle at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    got = E.queries()[name](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "lineitem", "events", "orders",
+              "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql(E.oracle_sql()[name]).df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].astype(str)
+    w = want[sorted(want.columns)].astype(str)
+    gs = sorted(map(tuple, g.itertuples(index=False, name=None)))
+    ws = sorted(map(tuple, w.itertuples(index=False, name=None)))
+    assert gs == ws
+
+
+def test_ann_topk_ranks(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    out = E.queries()["ann_topk"](SF).to_pandas()
+    assert set(out.qvec_id.unique()) == set(range(10))
+    for _, grp in out.groupby("qvec_id"):
+        assert list(grp.sort_values("rank")["rank"]) == list(range(1, 11))
+        s = grp.sort_values("rank")["score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
