@@ -32,7 +32,7 @@ from openie_backend_ray.stages.chunker import ChunkerActor
 from openie_backend_ray.stages.extractor import extract_batch
 from openie_backend_ray.stages.grouper import group_extractions
 from openie_backend_ray.stages.sentences import explode_text_spans
-from openie_backend_ray.util import auto_pool
+from openie_backend_ray.util import actor_cpus, auto_pool
 
 
 def chunk_documents(
@@ -51,6 +51,7 @@ def chunk_documents(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=chunker_concurrency or auto_pool(0.5),
+        num_cpus=actor_cpus(),
     )
 
 
@@ -99,15 +100,18 @@ def run_flagship(
         filter_groups_batch,
     )
 
-    chunked = chunk_documents(
-        docs_ds, lexicon_ref, chunker_concurrency, batch_size
+    from openie_backend_ray.stages.extract_pipeline import (
+        extract_and_combine,
     )
-    keyed = chunked.map_batches(
-        lambda b: extract_batch(b, corpus=corpus),
-        batch_format="pyarrow",
-        batch_size=batch_size,
+    from openie_backend_ray.stages.grouper import merge_blob_groups
+
+    partial = extract_and_combine(
+        docs_ds, lexicon_ref=lexicon_ref, corpus=corpus,
+        concurrency=chunker_concurrency,
     )
-    blobs = group_extractions(keyed, finalize=False)
+    blobs = partial.groupby("key").map_groups(
+        merge_blob_groups, batch_format="pyarrow"
+    )
     if side_tables_ref is not None:
         groups = link_groups(blobs, side_tables_ref, linker_concurrency)
     else:

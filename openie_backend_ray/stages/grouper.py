@@ -10,9 +10,13 @@ reducer-side caps (truncate each group to 40k instances, drop >500k;
    reducer pre-capped per batch, subsuming explicit key salting (each
    upstream batch acts as a salt bucket). The reference's
    arbitrary-order ``take(40000)`` cap makes this semantically
-   equivalent to its combinerless groupByKey. The combine batch is
-   LARGE (32k) on purpose: measured at sf0.1, 4k batches left 3x more
-   partial rows in the shuffle and tripled its wall time.
+   equivalent to its combinerless groupByKey. The combiner runs
+   PER BLOCK (batch_size=None): a fixed large batch_size (32k) made
+   Ray bundle blocks until the whole stage ran as 4 tasks — map
+   parallelism died; a small one (4k) left 3x more partial rows in
+   the shuffle and tripled its wall time. Per-block combining keeps
+   the task count equal to the block count while combining as widely
+   as the block allows.
 2. ONE ``groupby("key").map_groups`` shuffle over the partials.
 
 Through the shuffle, nested instance lists travel as pickled binary
@@ -160,7 +164,7 @@ def finalize_groups(batch: pa.Table) -> pa.Table:
 
 def group_extractions(
     keyed_ds,
-    combine_batch_size: int = 32_768,
+    combine_batch_size: int | None = None,
     finalize: bool = True,
 ):
     """keyed extraction Dataset -> groups Dataset (G1): combiner ->

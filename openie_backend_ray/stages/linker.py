@@ -208,14 +208,15 @@ def link_groups(
     analogue of the reference's 4-replica scratch-disk linkers with
     random pick (``ScoobiEntityLinker.scala:127-143``) — Ray schedules
     the replicas and balances batches for free."""
-    from openie_backend_ray.util import auto_pool
+    from openie_backend_ray.util import actor_cpus, auto_pool
 
     if concurrency is None:
-        concurrency = auto_pool(0.5)
+        concurrency = auto_pool(0.25)
     return blob_groups_ds.map_batches(
         LinkerActor,
         fn_constructor_kwargs={"tables_ref": tables_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=actor_cpus(),
     )

@@ -20,5 +20,30 @@ def auto_pool(frac: float = 0.5, lo: int = 1, hi: int = 64) -> tuple[int, int]:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    target = min(hi, max(lo, int(cpus * frac) or lo))
-    return (max(lo, target // 4), target)
+    # count in CPU-SHARES: on tiny clusters actors run at 0.5 CPU
+    # (actor_cpus). Tiny clusters also RESERVE one full CPU: shuffle
+    # tasks need num_cpus=1, and fixed pools that leave only half a
+    # CPU free deadlock the sort (observed at num_cpus=2).
+    reserve = 1 if cpus <= 4 else 0
+    slots = int(max(1, cpus - reserve) / actor_cpus())
+    target = min(hi, max(lo, int(slots * frac) or lo))
+    # FIXED size (min == max): measured on the fused flagship, the
+    # autoscaling pool stayed at ~2 actors for a 26-block backlog and
+    # the stage ran at 2x-parallel on an 8-CPU cluster. Fixed pools
+    # start every actor immediately; callers budget their fracs so the
+    # pools of one pipeline sum below the cluster (flagship: 0.6
+    # extract + 0.25 link, leaving >=15% for shuffle/map tasks — the
+    # deadlock guard that motivated autoscaling in the first place).
+    return (target, target)
+
+
+def actor_cpus() -> float:
+    """CPU share per pool actor: fractional on tiny clusters so two
+    1-actor pools plus the shuffle tasks between them can coexist (at
+    num_cpus=2, two full-CPU actors reserve the whole cluster and the
+    sort tasks starve - observed as a 17-minute hang of a 3-minute
+    job)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return 0.5 if cpus <= 4 else 1.0
