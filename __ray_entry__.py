@@ -60,13 +60,13 @@ def _flagship(sf_dir: str):
 
     from openie_backend_ray.fixtures.corpus import (
         build_chunker_lexicon,
-        build_documents,
+        documents_dataset,
     )
     from openie_backend_ray.fixtures.side_tables import build_side_tables
     from openie_backend_ray.pipelines.flagship import run_flagship
 
     sf_docs = _interleaved_docs(sf_dir)
-    fixture_docs = ray.data.from_arrow(build_documents()).repartition(8)
+    fixture_docs = documents_dataset(n_blocks=8)
     docs = sf_docs.union(fixture_docs)
     lex_ref = ray.put(build_chunker_lexicon())
     st_ref = ray.put(build_side_tables())

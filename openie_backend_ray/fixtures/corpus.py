@@ -179,3 +179,22 @@ def build_groups_table() -> pa.Table:
     return pa.Table.from_pydict(
         {k: [r[k] for r in rows] for k in rows[0]}, schema=S.GROUPS
     )
+
+
+def documents_dataset(n_blocks: int = 8, replication: int = 1,
+                      seed: int = 42):
+    """Fixture corpus as a MULTI-BLOCK Dataset without a repartition
+    shuffle: ``from_arrow`` with pre-sliced tables. (A
+    ``from_arrow(tbl).repartition(n)`` runs an AllToAll concurrently
+    with the pipeline's fixed actor pools and can starve on small
+    clusters; slicing up front needs no cluster resources at all.)"""
+    import ray.data
+
+    tbl = build_documents(replication=replication, seed=seed)
+    per = max(1, (tbl.num_rows + n_blocks - 1) // n_blocks)
+    slices = [
+        tbl.slice(i * per, per)
+        for i in range(n_blocks)
+        if tbl.slice(i * per, per).num_rows
+    ]
+    return ray.data.from_arrow(slices)

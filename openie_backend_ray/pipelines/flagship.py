@@ -62,16 +62,24 @@ def extract_and_group(
     chunker_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
 ) -> ray.data.Dataset:
-    """documents -> grouped (unlinked) ExtractionGroups (M1,M2,M5,M6,G1)."""
-    chunked = chunk_documents(
-        docs_ds, lexicon_ref, chunker_concurrency, batch_size
+    """documents -> grouped (unlinked) ExtractionGroups (M1,M2,M5,M6,G1);
+    same fused map front-end as run_flagship."""
+    from openie_backend_ray.stages.extract_pipeline import (
+        extract_and_combine,
     )
-    keyed = chunked.map_batches(
-        lambda b: extract_batch(b, corpus=corpus),
-        batch_format="pyarrow",
-        batch_size=batch_size,
+    from openie_backend_ray.stages.grouper import (
+        finalize_groups,
+        merge_blob_groups,
     )
-    return group_extractions(keyed)
+
+    partial = extract_and_combine(
+        docs_ds, lexicon_ref=lexicon_ref, corpus=corpus,
+        concurrency=chunker_concurrency,
+    )
+    merged = partial.groupby("key").map_groups(
+        merge_blob_groups, batch_format="pyarrow"
+    )
+    return merged.map_batches(finalize_groups, batch_format="pyarrow")
 
 
 def run_flagship(

@@ -48,15 +48,14 @@ def linked(ray_session):
     DataContext.get_current().enable_progress_bars = False
     from openie_backend_ray.fixtures.corpus import (
         build_chunker_lexicon,
-        build_documents,
+        documents_dataset,
     )
     from openie_backend_ray.fixtures.side_tables import build_side_tables
     from openie_backend_ray.pipelines.flagship import run_flagship
 
-    docs = build_documents()
     lex_ref = ray.put(build_chunker_lexicon())
     st_ref = ray.put(build_side_tables())
-    ds = rd.from_arrow(docs).repartition(16)
+    ds = documents_dataset(n_blocks=16)
     return run_flagship(
         ds, lexicon_ref=lex_ref, side_tables_ref=st_ref, corpus="cw"
     ).to_pandas()

@@ -16,12 +16,13 @@ def grouped(ray_session):
     from openie_backend_ray.fixtures.corpus import (
         build_chunker_lexicon,
         build_documents,
+        documents_dataset,
     )
     from openie_backend_ray.pipelines.flagship import extract_and_group
 
     docs = build_documents()
     lex_ref = ray.put(build_chunker_lexicon())
-    ds = rd.from_arrow(docs).repartition(16)
+    ds = documents_dataset(n_blocks=16)
     groups = extract_and_group(ds, lexicon_ref=lex_ref, corpus="cw")
     return docs, groups.to_pandas()
 
