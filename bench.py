@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATION = int(os.environ.get("GRAFT_BENCH_REPLICATION", "40"))
+REPLICATION = int(os.environ.get("GRAFT_BENCH_REPLICATION", "160"))
 PREP_ROOT = os.environ.get("GRAFT_BENCH_PREP", "/tmp/graft_bench")
 
 

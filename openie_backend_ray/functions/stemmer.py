@@ -282,12 +282,16 @@ def _is_analyzable(word: str) -> bool:
     return all(c.isalpha() or c == "'" for c in word)
 
 
+@functools.lru_cache(maxsize=262_144)
 def stem(word: str, tag: str) -> str:
     """Lemmatize ``word`` given its Penn Treebank ``tag``; returns lowercase.
 
     Reference behavior (``TaggedStemmer.scala:33-61``): proper-noun tags map
     to Morpha's "NP" (no inflection), then NNPS gets a manual trailing
     "es"/"s" strip; every other tag goes through Morpha's analysis.
+    Memoized: the key computation stems every token of every extraction
+    and natural text repeats words heavily (hot-path profile: 300k
+    calls per fixture-corpus batch).
     """
     w = word.lower()
 

@@ -16,8 +16,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from openie_backend_ray.stages.chunker import ChunkerActor
-from openie_backend_ray.stages.extractor import extract_batch
-from openie_backend_ray.stages.grouper import combine_batch
+from openie_backend_ray.stages.extractor import extract_rows
+from openie_backend_ray.stages.grouper import combine_rows
 from openie_backend_ray.stages.sentences import explode_text_spans
 
 
@@ -33,8 +33,7 @@ class ExtractCombineActor(ChunkerActor):
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences = explode_text_spans(batch)
         chunked = super().__call__(sentences)
-        keyed = extract_batch(chunked, corpus=self.corpus)
-        return combine_batch(keyed)
+        return combine_rows(extract_rows(chunked, corpus=self.corpus))
 
 
 def extract_and_combine(docs_ds, lexicon_ref=None, corpus: str = "corpus",

@@ -83,3 +83,42 @@ def extract_batch(batch: pa.Table, corpus: str = "corpus") -> pa.Table:
             "key": pa.array(out["key"], pa.string()),
         }
     )
+
+
+def extract_rows(batch: pa.Table, corpus: str = "corpus"):
+    """chunked sentences -> (key, norms, instance-dict) Python rows.
+
+    Same semantics as ``extract_batch`` but WITHOUT the Arrow
+    round-trip: when extraction and the combiner run fused inside one
+    actor call, building an Arrow table of nested token lists only to
+    ``to_pylist`` it straight back costs more than the extraction
+    itself (profiled ~3.5s of a 6s fixture-corpus batch)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    toks_col = batch["tokens"].to_pylist()
+    tags_col = batch["postags"].to_pylist()
+    chks_col = batch["chunks"].to_pylist()
+    src_col = (
+        batch["source_url"].to_pylist()
+        if "source_url" in batch.column_names
+        else [""] * len(doc_ids)
+    )
+    rows = []
+    for i in range(len(doc_ids)):
+        toks, tags, chks = toks_col[i], tags_col[i], chks_col[i]
+        if not (len(toks) == len(tags) == len(chks)):
+            continue
+        for (a1, r, a2) in extract(toks, tags, chks):
+            k = index_key(toks, tags, a1, r, a2)
+            if not (k[0] and k[1] and k[2]):
+                continue
+            conf = confidence.score(toks, tags, a1, r, a2)
+            inst = {
+                "tokens": toks, "postags": tags, "chunks": chks,
+                "arg1": {"start": a1[0], "end": a1[1]},
+                "rel": {"start": r[0], "end": r[1]},
+                "arg2": {"start": a2[0], "end": a2[1]},
+                "source_url": src_col[i], "corpus": corpus,
+                "confidence": conf,
+            }
+            rows.append((key_string(k), k, inst))
+    return rows
