@@ -155,3 +155,56 @@ def read_groups(path: str = GROUPS_FIXTURE) -> list[Group]:
                 continue
             out.append(parse_group_line(line))
     return out
+
+
+# ---------------------------------------------------------------------------
+# writers (round-trip conformance: reference serializes the same shapes,
+# ``ReVerbExtraction.scala:137-147`` / ``ReVerbExtractionGroup.scala:17-99``)
+# ---------------------------------------------------------------------------
+
+def format_interval(iv: tuple[int, int]) -> str:
+    """Half-open ``[a, b)``; singletons print ``{n}`` (nlptools
+    ``Interval.toString``)."""
+    if iv[1] == iv[0] + 1:
+        return "{%d}" % iv[0]
+    return "[%d, %d)" % (iv[0], iv[1])
+
+
+def format_extraction_cols(e: Extraction) -> list[str]:
+    return [
+        format_interval(e.arg1),
+        format_interval(e.rel),
+        format_interval(e.arg2),
+        " ".join(e.tokens),
+        " ".join(e.postags),
+        " ".join(e.chunks),
+        e.source_url,
+    ]
+
+
+def write_extraction(e: Extraction) -> str:
+    return "\t".join(format_extraction_cols(e))
+
+
+def _format_entity(ent: tuple[str, str, float, float] | None) -> str:
+    if ent is None:
+        return "X"
+    name = ent[0].replace(",", "|/|")
+    return "%s,%s,%.4g,%.4g" % (name, ent[1], ent[2], ent[3])
+
+
+def _format_types(types: list[str]) -> str:
+    return ",".join(types) if types else "X"
+
+
+def write_group(g: Group) -> str:
+    cols = [
+        g.arg1_norm, g.rel_norm, g.arg2_norm,
+        _format_entity(g.arg1_entity), _format_entity(g.arg2_entity),
+        _format_types(g.arg1_types), _format_types(g.arg2_types),
+    ]
+    for inst in g.instances:
+        cols.extend(format_extraction_cols(inst))
+        cols.append(inst.corpus)
+        cols.append(repr(inst.confidence))
+    return "\t".join(cols)

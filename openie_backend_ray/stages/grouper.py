@@ -207,3 +207,48 @@ def combine_rows(rows) -> pa.Table:
         out["instances_blob"].append(pickle.dumps(insts, protocol=4))
         out["size"].append(len(insts))
     return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
+
+
+def group_extractions_salted(
+    keyed_ds,
+    salt_buckets: int = 16,
+    finalize: bool = True,
+):
+    """G1 with EXPLICIT key salting (north-rule requirement for
+    head-entity skew): two-phase shuffle —
+
+    1. ``groupby((key, salt))`` where ``salt = md5(sentence) %
+       salt_buckets``: a head key ("obama"/"be") splits across
+       ``salt_buckets`` reducers, each merging + capping its slice;
+    2. ``groupby(key)`` over the per-salt partials (at most
+       ``salt_buckets`` rows per key) for the final merge.
+
+    Output is identical to ``group_extractions`` (same caps, same
+    deterministic instance order) — verified by test; the salted form
+    bounds the largest reduce task at ~1/salt_buckets of the hottest
+    key instead of the whole key."""
+    import hashlib
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("salt", pa.array([], pa.int32()))
+        salts = [
+            int(hashlib.md5(b).hexdigest()[:8], 16) % salt_buckets
+            for b in batch["instances_blob"].to_pylist()
+        ]
+        return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+    partial = keyed_ds.map_batches(
+        combine_batch, batch_format="pyarrow", batch_size=None
+    )
+    salted = partial.map_batches(add_salt, batch_format="pyarrow")
+    phase1 = salted.groupby(["key", "salt"]).map_groups(
+        lambda t: merge_blob_groups(t.drop_columns(["salt"])),
+        batch_format="pyarrow",
+    )
+    merged = phase1.groupby("key").map_groups(
+        merge_blob_groups, batch_format="pyarrow"
+    )
+    if finalize:
+        return merged.map_batches(finalize_groups, batch_format="pyarrow")
+    return merged

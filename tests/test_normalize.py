@@ -102,3 +102,38 @@ def test_index_key_parity_all_groups_floor(golden_groups):
         ):
             hit += 1
     assert hit / len(golden_groups) >= 0.83
+
+
+def test_extraction_tsv_round_trip(golden_extractions):
+    """deserialize(serialize(x)) == x over all golden extractions —
+    the reference's own test strategy
+    (ReVerbTabSerializerTest.scala:25-28, 317 cases)."""
+    from openie_backend_ray.fixtures import reverb_tsv as T
+
+    assert len(golden_extractions) >= 300
+    for e in golden_extractions:
+        back = T.parse_extraction_cols(T.write_extraction(e).split("\t"))
+        assert back == e
+
+
+def test_group_tsv_round_trip(golden_groups):
+    """Groups round-trip through our writer+parser (structure identity:
+    norms, entities, types, instance layers/intervals)."""
+    from openie_backend_ray.fixtures import reverb_tsv as T
+
+    n = 0
+    for g in golden_groups:
+        back = T.parse_group_line(T.write_group(g))
+        assert (back.arg1_norm, back.rel_norm, back.arg2_norm) == (
+            g.arg1_norm, g.rel_norm, g.arg2_norm)
+        assert back.arg1_types == g.arg1_types
+        assert back.arg2_types == g.arg2_types
+        if g.arg1_entity is not None:
+            assert back.arg1_entity[:2] == g.arg1_entity[:2]
+        assert len(back.instances) == len(g.instances)
+        for bi, gi in zip(back.instances, g.instances):
+            assert bi.tokens == gi.tokens
+            assert (bi.arg1, bi.rel, bi.arg2) == (gi.arg1, gi.rel, gi.arg2)
+            assert bi.confidence == gi.confidence
+        n += 1
+    assert n >= 900
