@@ -301,6 +301,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_canonicalize(sf_dir: str):
+        import pyarrow as pa
+
+        from openie_backend_ray.stages.canonicalize import canonicalize
+
+        out = canonicalize(_fixture_groups_ds(sf_dir))
+        return out.map_batches(
+            lambda b: pa.table({"arg1_norm": b["arg1_norm"],
+                                "rel_norm": b["rel_norm"],
+                                "arg2_norm": b["arg2_norm"],
+                                "size": b["size"]}),
+            batch_format="pyarrow",
+        )
+
     def q_type_predictions(sf_dir: str):
         from openie_backend_ray.stages.typer import (
             TyperSettings,
@@ -349,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inlink_ratio": q_inlink_ratio,
         "arg_pairs": q_arg_pairs,
         "renormalize": q_renormalize,
+        "canonicalize": q_canonicalize,
         "type_predictions": q_type_predictions,
     }
 

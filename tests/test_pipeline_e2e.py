@@ -133,3 +133,37 @@ def test_salted_grouping_identical(ray_session):
     assert list(a["size"]) == list(b["size"])
     # deterministic instance order -> identical blobs
     assert list(a["instances_blob"]) == list(b["instances_blob"])
+
+
+def test_query_triples_pushdown(ray_session, tmp_path):
+    """§3.3 serving contract: materialize -> pruned-read query by
+    normalized clauses, size-desc order, maxGroups budget."""
+    import ray
+
+    from openie_backend_ray.fixtures.corpus import (
+        build_chunker_lexicon,
+        documents_dataset,
+    )
+    from openie_backend_ray.pipelines.flagship import (
+        extract_and_group,
+        materialize_triples,
+    )
+    from openie_backend_ray.pipelines.query import query_triples
+
+    lex_ref = ray.put(build_chunker_lexicon())
+    groups = extract_and_group(
+        documents_dataset(n_blocks=8), lexicon_ref=lex_ref, corpus="cw"
+    )
+    out_dir = str(tmp_path / "triples")
+    materialize_triples(groups, out_dir)
+
+    # a known golden triple: query by raw (unstemmed) arg1 text
+    res = query_triples(out_dir, arg1="indexes", rel="uses").to_pandas()
+    assert len(res) >= 1
+    assert (res["arg1_norm"] == "index").all()
+    assert (res["rel_norm"] == "use").all()
+
+    allq = query_triples(out_dir, rel="uses", max_groups=5).to_pandas()
+    assert len(allq) <= 5
+    sizes = list(allq["size"])
+    assert sizes == sorted(sizes, reverse=True)
