@@ -137,3 +137,33 @@ def test_group_tsv_round_trip(golden_groups):
             assert bi.confidence == gi.confidence
         n += 1
     assert n >= 900
+
+
+def test_nell_type_map():
+    """Reference NellExtractionTest: /book/magazine -> NellType
+    ('magazine', 'magazine'); unknown types -> None."""
+    from openie_backend_ray.functions.nell import fb_to_nell, nell_type_for
+
+    assert len(fb_to_nell()) > 50
+    nt = nell_type_for("/book/magazine")
+    assert nt is not None and nt.id == "magazine"
+    assert nell_type_for("/Book/Magazine/extra") == nt  # case + extras
+    assert nell_type_for("nonsense") is None
+    assert nell_type_for("/no/suchtype") is None
+
+
+def test_confidence_ranking_behavior():
+    """M6 contract: only ranking matters. Clean proper-noun short
+    extraction ranks above a pronoun-argument long-sentence one."""
+    from openie_backend_ray.functions.confidence import score
+
+    good = score(
+        ["Mozart", "was", "born", "in", "Salzburg", "."],
+        ["NNP", "VBD", "VBN", "IN", "NNP", "."],
+        (0, 1), (1, 4), (4, 5),
+    )
+    toks = ["it"] + ["filler"] * 30 + ["said", "something", "."]
+    tags = ["PRP"] + ["NN"] * 30 + ["VBD", "NN", "."]
+    bad = score(toks, tags, (0, 1), (31, 32), (32, 33))
+    assert good > 0.7 > bad
+    assert 0.0 < bad < good < 1.0

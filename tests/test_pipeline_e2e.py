@@ -167,3 +167,24 @@ def test_query_triples_pushdown(ray_session, tmp_path):
     assert len(allq) <= 5
     sizes = list(allq["size"])
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_empty_input_flagship(ray_session):
+    """Degenerate inputs: an empty documents table flows through every
+    stage without error and yields zero groups."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from openie_backend_ray import schema as S
+    from openie_backend_ray.fixtures.corpus import build_chunker_lexicon
+    from openie_backend_ray.fixtures.side_tables import build_side_tables
+    from openie_backend_ray.pipelines.flagship import run_flagship
+
+    empty = S.DOCUMENTS.empty_table()
+    out = run_flagship(
+        rd.from_arrow(empty),
+        lexicon_ref=ray.put(build_chunker_lexicon()),
+        side_tables_ref=ray.put(build_side_tables()),
+    )
+    assert out.count() == 0
