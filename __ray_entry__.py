@@ -142,6 +142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_fingerprint(sf_dir: str):
         return TS.fingerprint(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_top_tokens(sf_dir: str):
+        return TS.top_tokens(
+            _read(sf_dir, "documents", ["doc_id", "text"]), k=20
+        )
+
+    def q_vocab_stats(sf_dir: str):
+        return TS.vocab_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
     def q_dedup_exact(sf_dir: str):
         return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -341,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "top_tokens": q_top_tokens,
+        "vocab_stats": q_vocab_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -461,6 +471,21 @@ def oracle_sql() -> dict[str, str]:
                                i -> md5(array_to_string(toks[i:i+4], ' '))))
                    END AS fingerprint
             FROM t
+        """,
+        "top_tokens": f"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents)
+            SELECT token, count(*) AS n FROM tok
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "vocab_stats": f"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents)
+            SELECT count(*) AS n_tokens,
+                   count(DISTINCT token) AS n_distinct
+            FROM tok
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5

@@ -182,3 +182,48 @@ def lang_id(ds):
 
 def fingerprint(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _token_counts_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch token frequency partial (the wordcount combiner)."""
+    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    flat = pc.list_flatten(toks)
+    vc = flat.value_counts()
+    return pa.table(
+        {"token": vc.field("values"),
+         "n": pc.cast(vc.field("counts"), pa.int64())}
+    )
+
+
+def top_tokens(ds, k: int = 20):
+    """Corpus wordcount top-k: per-batch value_counts partials -> one
+    small groupby sum -> sort desc (token asc ties) -> limit."""
+    partial = ds.map_batches(_token_counts_partial, batch_format="pyarrow")
+    agg = partial.groupby("token").sum("n")
+    return (
+        agg.map_batches(
+            lambda b: pa.table({"token": b["token"], "n": b["sum(n)"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def vocab_stats(ds):
+    """ONE-row global aggregate: total tokens + distinct tokens."""
+    partial = ds.map_batches(_token_counts_partial, batch_format="pyarrow")
+    agg = partial.groupby("token").sum("n")
+
+    def reduce_all(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_tokens": pa.array([int(pc.sum(batch["sum(n)"]).as_py())],
+                                  pa.int64()),
+             "n_distinct": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    # the distinct-token table is tiny after aggregation: single final
+    # reduce via one-batch map (batch_size None over a repartition(1))
+    return agg.repartition(1).map_batches(
+        reduce_all, batch_format="pyarrow", batch_size=None
+    )
