@@ -188,3 +188,64 @@ def test_empty_input_flagship(ray_session):
         side_tables_ref=ray.put(build_side_tables()),
     )
     assert out.count() == 0
+
+
+def test_head_key_skew_caps(ray_session):
+    """Skew semantics (the reason the caps exist): a pathological head
+    key whose raw instance count exceeds the 40k cap truncates to
+    exactly MAX_GROUP_INSTANCES; the salted two-phase path agrees."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray.stages import grouper as G
+
+    def mk_rows(n, key):
+        rows = {c: [] for c in
+                ("key", "arg1_norm", "rel_norm", "arg2_norm",
+                 "instances_blob", "size")}
+        import pickle
+
+        for i in range(n):
+            inst = {
+                "tokens": ["obama", "visited", f"city{i}", "."],
+                "postags": ["NNP", "VBD", "NNP", "."],
+                "chunks": ["B-NP", "B-VP", "B-NP", "O"],
+                "arg1": {"start": 0, "end": 1},
+                "rel": {"start": 1, "end": 2},
+                "arg2": {"start": 2, "end": 3},
+                "source_url": f"u{i}", "corpus": "cw",
+                "confidence": 0.5 + (i % 40) / 100.0,
+            }
+            rows["key"].append(key)
+            rows["arg1_norm"].append("obama")
+            rows["rel_norm"].append("visit")
+            rows["arg2_norm"].append("city")
+            rows["instances_blob"].append(
+                pickle.dumps([inst], protocol=4))
+            rows["size"].append(1)
+        return pa.Table.from_pydict(rows, schema=G.BLOB_GROUPS)
+
+    # cap scaled down process-locally (the reducer function is the
+    # same object Ray ships to workers; a subprocess would re-import
+    # the real 40k)
+    orig = G.MAX_GROUP_INSTANCES
+    G.MAX_GROUP_INSTANCES = 500
+    try:
+        hot = mk_rows(1500, "obama__visit__city")
+        merged = G.finalize_groups(G.merge_blob_groups(hot))
+        assert merged.num_rows == 1
+        assert merged["size"][0].as_py() == 500  # capped, not 1500
+        # deterministic: highest-confidence instances survive the cap
+        confs = [i["confidence"]
+                 for i in merged["instances"][0].as_py()]
+        assert confs == sorted(confs, reverse=True)
+        # raw-group drop guard (>MAX_RAW_GROUP partials -> dropped)
+        orig_raw = G.MAX_RAW_GROUP
+        G.MAX_RAW_GROUP = 1000
+        try:
+            dropped = G.merge_blob_groups(hot)
+            assert dropped.num_rows == 0
+        finally:
+            G.MAX_RAW_GROUP = orig_raw
+    finally:
+        G.MAX_GROUP_INSTANCES = orig
