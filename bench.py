@@ -238,15 +238,24 @@ def main_scaling() -> None:
     prepare_inputs(SF_DIR, REPLICATION)  # shared, untimed
     levels = [int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")]
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     results = {}
     for n in levels:
-        out = subprocess.run(
-            [sys.executable, __file__, "--flagship-only", str(n)],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, __file__, "--flagship-only", str(n)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            # best-of-N per level: this host's vCPUs are shared, and a
+            # noisy neighbour inflates one run by 60%+; min wall is the
+            # standard noise-robust estimator
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[n] = best
     lo, hi = min(levels), max(levels)
     tput = {n: results[n]["sentences_per_sec"] for n in levels}
     efficiency = (tput[hi] / tput[lo]) / (hi / lo)
