@@ -167,6 +167,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
         return D.ngram_jaccard_pairs(ds, docs_ref, threshold=0.5)
 
+    def q_clean_corpus(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        from openie_backend_ray.ops.clean_corpus import clean_corpus
+
+        docs_tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        docs_ref = ray.put(docs_tbl)
+        return clean_corpus(
+            _read(sf_dir, "documents", ["doc_id", "text"]), docs_ref
+        )
+
     def q_simhash(sf_dir: str):
         return D.simhash(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -354,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "clean_corpus": q_clean_corpus,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_pairs": q_embedding_pairs,
@@ -508,6 +523,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(sa.shingles, sb.shingles))
                        AS DOUBLE)
                     / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+        """,
+        "clean_corpus": f"""
+            WITH {_MINHASH_CTE},
+            jac AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE CAST(len(list_intersect(sa.shingles, sb.shingles))
+                         AS DOUBLE)
+                      / len(list_distinct(sa.shingles || sb.shingles))
+                      >= 0.5),
+            exact_keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY md5(text)),
+            near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM jac),
+            stats AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(toks,
+                            x -> list_contains({_STOP_SQL}, x)))
+                          AS DOUBLE) / len(toks) AS stopword_ratio
+              FROM t)
+            SELECT s.doc_id, s.n_tokens
+            FROM stats s
+            JOIN exact_keep k ON k.doc_id = s.doc_id
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM near_losers)
+              AND s.n_tokens >= 10 AND s.n_tokens <= 10000
+              AND s.stopword_ratio <= 0.5
         """,
         "embedding_pairs": f"""
             WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings)

@@ -170,3 +170,33 @@ def test_ann_topk_ranks(ray_session):
         assert list(grp.sort_values("rank")["rank"]) == list(range(1, 11))
         s = grp.sort_values("rank")["score"].to_numpy()
         assert (s[:-1] >= s[1:]).all()
+
+
+def test_clean_corpus_drops_dups_and_junk(ray_session):
+    """Composed cleaning pipeline: exact dup, near-dup (jaccard), and
+    low-quality docs all drop; the survivor set is exact."""
+    import ray
+    import ray.data as rd
+
+    from openie_backend_ray.ops.clean_corpus import clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away every single day")
+    near = base.replace("far", "near")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                base,                 # keeper
+                base,                 # exact dup of 1 -> dropped
+                near,                 # near-dup of 1 -> dropped
+                "too short",          # quality (n_tokens < 10) -> dropped
+                "an entirely different document about other topics "
+                "with plenty of ordinary words inside it today",  # keeper
+            ]),
+        }
+    )
+    out = clean_corpus(
+        rd.from_arrow(docs), ray.put(docs), jaccard_threshold=0.5
+    ).to_pandas()
+    assert sorted(out.doc_id) == [1, 5]
