@@ -641,9 +641,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '4'
         """,
-        # lang_id, simhash, simhash_pairs, flagship_triples,
-        # media_features: deliberately omitted (non-SQL-expressible:
-        # heuristic language profiles, 64-bit sign accumulation, the KG
-        # extraction pipeline, sha256 payload synthesis) -> driver
-        # records the weaker rows-only check for those.
+        # lang_id, simhash, simhash_pairs, flagship_triples:
+        # deliberately omitted (non-SQL-expressible: heuristic language
+        # profiles, 64-bit sign accumulation, the KG extraction
+        # pipeline itself) -> driver records the weaker rows-only check
+        # for those.  The post-group KG operators get their oracles
+        # from fixtures/oracles.py over exploded parquet views of the
+        # same golden GROUPS fixture.
+        **_kg_oracles(),
     }
+
+
+def _kg_oracles() -> dict[str, str]:
+    from openie_backend_ray.fixtures.oracles import kg_oracle_sql
+
+    return kg_oracle_sql()

@@ -1,0 +1,167 @@
+"""Flat SQL views of the deterministic golden GROUPS fixture.
+
+The post-group KG operators (extreme filter, head phrases, projections,
+regroup, renormalize, canonicalize, typer, inlink ratio) run over the
+nested Arrow GROUPS table — not one of the driver's pre-registered
+parquet views — so their DuckDB oracles need the same input exploded
+into flat tables DuckDB can read.  This module materializes three
+parquet files from ``fixtures.corpus.build_groups_table()``:
+
+- ``groups.parquet``  — one row per group (gid, norms, entity fields,
+  types, size);
+- ``instances.parquet`` — one row per instance (gid, inst_idx, spans,
+  confidence, corpus, sentence text);
+- ``tokens.parquet``  — one row per token per instance (gid, inst_idx,
+  pos, token, tag, stem, in_arg1/in_rel/in_arg2 membership flags).
+
+The ONLY derived (non-raw) column is ``stem`` — the POS-aware
+lemmatizer (``functions/stemmer.py``, unit-tested on the reference's
+``TaggedStemmer`` cases).  Every other oracle computation — grouping
+keys, frontend keys, head phrases, blacklist filters, instance dedup
+signatures, merge sizes — is expressed in SQL over these raw columns,
+so the oracle independently re-derives the operator logic.
+
+Both engines consume the SAME fixture: Ray via ``build_groups_table``
+(nested), DuckDB via these files (flat).  ``ensure_views()`` writes
+them idempotently (atomic rename) and is called from ``oracle_sql()``
+so the files exist whenever the driver runs the SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump when the view SCHEMA or derivation changes so stale files from a
+# previous code version are never reused
+VIEWS_VERSION = 1
+
+_DEFAULT_DIR = "/tmp/openie_fixture_views"
+
+
+def views_dir() -> str:
+    base = os.environ.get("GRAFT_FIXTURE_VIEWS", _DEFAULT_DIR)
+    return os.path.join(base, f"v{VIEWS_VERSION}")
+
+
+def build_views() -> dict[str, pa.Table]:
+    from openie_backend_ray.fixtures.corpus import build_groups_table
+    from openie_backend_ray.functions.stemmer import stem
+
+    g = build_groups_table()
+    inst_col = g["instances"].to_pylist()
+
+    # ---- groups view -----------------------------------------------------
+    def ent_f(col, field, typ):
+        return [
+            (e[field] if e is not None else None)
+            for e in g[col].to_pylist()
+        ]
+
+    groups = pa.table(
+        {
+            "gid": pa.array(range(g.num_rows), pa.int64()),
+            "arg1_norm": g["arg1_norm"],
+            "rel_norm": g["rel_norm"],
+            "arg2_norm": g["arg2_norm"],
+            "size": g["size"],
+            "fbid1": pa.array(ent_f("arg1_entity", "fbid", str), pa.string()),
+            "name1": pa.array(ent_f("arg1_entity", "name", str), pa.string()),
+            "inlinks1": pa.array(
+                ent_f("arg1_entity", "inlink_ratio", float), pa.float64()
+            ),
+            "fbid2": pa.array(ent_f("arg2_entity", "fbid", str), pa.string()),
+            "name2": pa.array(ent_f("arg2_entity", "name", str), pa.string()),
+            "inlinks2": pa.array(
+                ent_f("arg2_entity", "inlink_ratio", float), pa.float64()
+            ),
+            "arg1_types": g["arg1_types"],
+            "arg2_types": g["arg2_types"],
+        }
+    )
+
+    # ---- instances + tokens views ---------------------------------------
+    i_gid, i_idx, i_conf, i_corpus, i_url, i_sent = [], [], [], [], [], []
+    spans = {k: [] for k in ("a1s", "a1e", "rs", "re_", "a2s", "a2e")}
+    t_gid, t_idx, t_pos, t_tok, t_tag, t_stem = [], [], [], [], [], []
+    t_a1, t_rel, t_a2 = [], [], []
+    for gid, insts in enumerate(inst_col):
+        for ii, inst in enumerate(insts):
+            i_gid.append(gid)
+            i_idx.append(ii)
+            i_conf.append(inst["confidence"])
+            i_corpus.append(inst["corpus"])
+            i_url.append(inst["source_url"])
+            i_sent.append(" ".join(inst["tokens"]))
+            a1, rl, a2 = inst["arg1"], inst["rel"], inst["arg2"]
+            spans["a1s"].append(a1["start"])
+            spans["a1e"].append(a1["end"])
+            spans["rs"].append(rl["start"])
+            spans["re_"].append(rl["end"])
+            spans["a2s"].append(a2["start"])
+            spans["a2e"].append(a2["end"])
+            for p, (tok, tag) in enumerate(
+                zip(inst["tokens"], inst["postags"])
+            ):
+                t_gid.append(gid)
+                t_idx.append(ii)
+                t_pos.append(p)
+                t_tok.append(tok)
+                t_tag.append(tag)
+                t_stem.append(stem(tok, tag))
+                t_a1.append(a1["start"] <= p < a1["end"])
+                t_rel.append(rl["start"] <= p < rl["end"])
+                t_a2.append(a2["start"] <= p < a2["end"])
+
+    instances = pa.table(
+        {
+            "gid": pa.array(i_gid, pa.int64()),
+            "inst_idx": pa.array(i_idx, pa.int64()),
+            "confidence": pa.array(i_conf, pa.float64()),
+            "corpus": pa.array(i_corpus, pa.string()),
+            "source_url": pa.array(i_url, pa.string()),
+            "sentence": pa.array(i_sent, pa.string()),
+            **{
+                k: pa.array(v, pa.int64()) for k, v in spans.items()
+            },
+        }
+    )
+    tokens = pa.table(
+        {
+            "gid": pa.array(t_gid, pa.int64()),
+            "inst_idx": pa.array(t_idx, pa.int64()),
+            "pos": pa.array(t_pos, pa.int64()),
+            "token": pa.array(t_tok, pa.string()),
+            "tag": pa.array(t_tag, pa.string()),
+            "stem": pa.array(t_stem, pa.string()),
+            "in_arg1": pa.array(t_a1, pa.bool_()),
+            "in_rel": pa.array(t_rel, pa.bool_()),
+            "in_arg2": pa.array(t_a2, pa.bool_()),
+        }
+    )
+    return {"groups": groups, "instances": instances, "tokens": tokens}
+
+
+_ensured: str | None = None
+
+
+def ensure_views() -> str:
+    """Write the views once per process (atomic); return the directory."""
+    global _ensured
+    d = views_dir()
+    if _ensured == d:
+        return d
+    names = ("groups", "instances", "tokens")
+    if not all(
+        os.path.exists(os.path.join(d, f"{n}.parquet")) for n in names
+    ):
+        os.makedirs(d, exist_ok=True)
+        views = build_views()
+        for n in names:
+            tmp = os.path.join(d, f".{n}.parquet.{os.getpid()}.tmp")
+            pq.write_table(views[n], tmp)
+            os.replace(tmp, os.path.join(d, f"{n}.parquet"))
+    _ensured = d
+    return d

@@ -18,12 +18,49 @@ computed vectorized in a preceding ``map_batches``.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyarrow as pa
 
 from openie_backend_ray import schema as S
 from openie_backend_ray.functions.normalize import frontend_key
 
 _KEYED = pa.schema(list(S.GROUPS) + [("ckey", pa.string())])
+
+
+def instance_sig_str(inst: dict) -> str:
+    """chr(30)-joined instance dedup signature — the same string the SQL
+    oracles hash (``fixtures/oracles.py`` sig CTE)."""
+    return "\x1e".join(
+        (
+            " ".join(inst["tokens"]),
+            inst["corpus"],
+            str(inst["arg1"]["start"]),
+            str(inst["rel"]["start"]),
+            str(inst["arg2"]["start"]),
+        )
+    )
+
+
+def canon_order(t: pa.Table, idxs: list[int] | None = None) -> list[int]:
+    """Deterministic member order for merge reducers: (arg1_norm,
+    rel_norm, arg2_norm, md5-of-head-instance-sig).  Ray's groupby gives
+    no within-group order guarantee; sorting here makes every merge —
+    representative norms, entity pick, instance concat order — a pure
+    function of the member SET, so reruns and the SQL oracles agree."""
+    if idxs is None:
+        idxs = list(range(t.num_rows))
+    a1 = t["arg1_norm"].to_pylist()
+    rl = t["rel_norm"].to_pylist()
+    a2 = t["arg2_norm"].to_pylist()
+    insts = t["instances"].to_pylist()
+    return sorted(
+        idxs,
+        key=lambda i: (
+            a1[i], rl[i], a2[i],
+            hashlib.md5(instance_sig_str(insts[i][0]).encode()).hexdigest(),
+        ),
+    )
 
 
 def _head_frontend_key(insts: list[dict]) -> tuple[str, str, str]:
@@ -77,11 +114,7 @@ def _merge_rows(t: pa.Table, idxs: list[int], norms=None) -> dict:
     seen = set()
     for i in idxs:
         for inst in t["instances"][i].as_py():
-            sig = (
-                " ".join(inst["tokens"]), inst["corpus"],
-                inst["arg1"]["start"], inst["rel"]["start"],
-                inst["arg2"]["start"],
-            )
+            sig = instance_sig_str(inst)
             if sig in seen:
                 continue
             seen.add(sig)
@@ -115,9 +148,10 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
 
 
 def merge_entity_groups(t: pa.Table) -> pa.Table:
-    """Pass-1 reducer: plain merge of one entity-key's groups."""
+    """Pass-1 reducer: plain merge of one entity-key's groups (members
+    in canonical order — see ``canon_order``)."""
     t = t.drop_columns(["ckey"])
-    return _rows_to_table([_merge_rows(t, list(range(t.num_rows)))])
+    return _rows_to_table([_merge_rows(t, canon_order(t))])
 
 
 def merge_frontend_groups(t: pa.Table) -> pa.Table:
@@ -128,7 +162,7 @@ def merge_frontend_groups(t: pa.Table) -> pa.Table:
     if len(norms) != 3:  # frontend key part contained "__" — keep as-is
         norms = None
     t = t.drop_columns(["ckey"])
-    idxs = list(range(t.num_rows))
+    idxs = canon_order(t)
     linked = [
         i
         for i in idxs

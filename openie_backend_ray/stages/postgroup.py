@@ -266,10 +266,13 @@ def regroup(groups_ds, max_instances: int = 40_000):
         return batch.append_column("rkey", pa.array(keys, pa.string()))
 
     def merge(g: pa.Table) -> pa.Table:
-        from openie_backend_ray.stages.canonicalize import _merge_rows
+        from openie_backend_ray.stages.canonicalize import (
+            _merge_rows,
+            canon_order,
+        )
 
         g = g.drop_columns(["rkey"])
-        row = _merge_rows(g, list(range(g.num_rows)))
+        row = _merge_rows(g, canon_order(g))
         row["instances"] = row["instances"][:max_instances]
         row["size"] = len(row["instances"])
         return pa.Table.from_pydict(

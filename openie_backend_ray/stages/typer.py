@@ -216,17 +216,21 @@ def predict_types_for_arg(
     rels = list(dict.fromkeys(group["rel_norm"].to_pylist()))[
         : settings.max_rel_infos_read_per_arg
     ]
-    ent_weights: dict[str, float] = {}
+    ent_weights: dict[str, int] = {}
     ent_types: dict[str, frozenset] = {}
-    total = 0.0
+    total = 0
     for r in rels:
         info = rel_infos.get(r)
         if info is None:
             continue
         weight, fbids, typess = info
-        w = 10.0 ** (4.0 * weight)
+        # integer micro-weights: floor(10^(4w) * 1e6).  Summing int64
+        # makes the accumulation order-independent (exact), so the
+        # result is reproducible across partitionings and engines — a
+        # float sum here would drift with Ray's reduction order.
+        w = int(10.0 ** (4.0 * weight) * 1e6)
         for f, ts in zip(fbids, typess):
-            ent_weights[f] = ent_weights.get(f, 0.0) + w
+            ent_weights[f] = ent_weights.get(f, 0) + w
             ent_types.setdefault(f, frozenset(ts))
             total += w
     empty = pa.table(
@@ -234,7 +238,7 @@ def predict_types_for_arg(
             "arg_norm": pa.array([], pa.string()),
             "types": pa.array([], pa.list_(pa.string())),
             "share_scores": pa.array([], pa.list_(pa.int32())),
-            "total_entity_weight": pa.array([], pa.float64()),
+            "total_entity_weight": pa.array([], pa.int64()),
             "top_fbids": pa.array([], pa.list_(pa.string())),
         }
     )
@@ -260,7 +264,7 @@ def predict_types_for_arg(
                               pa.list_(pa.string())),
             "share_scores": pa.array([[c for _, c in preds]],
                                      pa.list_(pa.int32())),
-            "total_entity_weight": pa.array([total], pa.float64()),
+            "total_entity_weight": pa.array([total], pa.int64()),
             "top_fbids": pa.array([[f for f, _ in top[:5]]],
                                   pa.list_(pa.string())),
         }
