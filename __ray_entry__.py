@@ -157,29 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return D.minhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
     def q_ngram_jaccard(sf_dir: str):
-        import ray
-        import pyarrow.parquet as pq
-
-        docs_tbl = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        docs_ref = ray.put(docs_tbl)
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
-        return D.ngram_jaccard_pairs(ds, docs_ref, threshold=0.5)
+        return D.ngram_jaccard_pairs(ds, threshold=0.5)
 
     def q_clean_corpus(sf_dir: str):
-        import ray
-        import pyarrow.parquet as pq
-
         from openie_backend_ray.ops.clean_corpus import clean_corpus
 
-        docs_tbl = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        docs_ref = ray.put(docs_tbl)
-        return clean_corpus(
-            _read(sf_dir, "documents", ["doc_id", "text"]), docs_ref
-        )
+        return clean_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
 
     def q_simhash(sf_dir: str):
         return D.simhash(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -426,9 +410,13 @@ bands AS (
            AS bucket
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
 cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+  -- star pairs: every bucket member pairs with the bucket's min
+  -- doc_id (matches ops.dedup._bucket_pairs: linear in bucket size)
+  SELECT DISTINCT m.anchor AS doc_a, y.doc_id AS doc_b
+  FROM (SELECT band, bucket, min(doc_id) AS anchor
+        FROM bands GROUP BY band, bucket) m
+  JOIN bands y ON y.band = m.band AND y.bucket = m.bucket
+  WHERE y.doc_id != m.anchor)
 """
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"

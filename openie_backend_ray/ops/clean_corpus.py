@@ -3,21 +3,41 @@ prep): exact dedup -> minhash-LSH + n-gram-Jaccard near-dup removal ->
 quality gate, as ONE Dataset pipeline with an exact SQL oracle.
 
 Shape at scale:
-- the LOSER sets (duplicate ids to drop) are small even when the corpus
-  is not — exact losers are non-min ids within identical-text groups,
-  near-dup losers are the higher id of each verified pair. They are
-  collected once and broadcast (``ray.put``) into a single filter pass;
-  at 100 TB the same sets shard by hash(doc_id) per filter actor.
+- only LOSER sets (duplicate ids to drop) ever leave the cluster:
+  exact losers are the non-min ids within identical-text groups, near
+  losers the doc_b of each verified near-dup pair.  Both are
+  O(duplicates), small at realistic dup rates, collected once and
+  broadcast (``ray.put``) into a single filter pass; at 100 TB the
+  same sets shard by hash(doc_id) per filter actor, or become a
+  ``Dataset.join(..., "left_anti")`` when even the loser set is big.
 - survivors then stream through the vectorized quality gate; nothing
-  rematerializes the corpus.
+  rematerializes the corpus and nothing driver-side is O(corpus).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def clean_corpus(ds, docs_ref, jaccard_threshold: float = 0.5):
+def exact_dup_losers(ds):
+    """(doc_id) of every document whose text equals an earlier (lower
+    doc_id) document — the complement of ``dedup.exact_dedup``."""
+    from openie_backend_ray.ops.dedup import add_text_md5
+
+    hashed = ds.map_batches(add_text_md5, batch_format="pyarrow")
+
+    def losers(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"]
+        keep = pc.not_equal(ids, pc.min(ids))
+        return pa.table({"doc_id": ids.filter(keep)})
+
+    return hashed.groupby("text_md5").map_groups(
+        losers, batch_format="pyarrow"
+    )
+
+
+def clean_corpus(ds, jaccard_threshold: float = 0.5):
     """documents -> (doc_id, n_tokens) of surviving clean docs.
 
     Drop rules (in order):
@@ -28,38 +48,31 @@ def clean_corpus(ds, docs_ref, jaccard_threshold: float = 0.5):
     """
     import ray
 
-    from openie_backend_ray.ops.dedup import (
-        exact_dedup,
-        ngram_jaccard_pairs,
-    )
+    from openie_backend_ray.ops.dedup import ngram_jaccard_pairs
     from openie_backend_ray.ops.textstats import quality_score
     from openie_backend_ray.util import auto_pool
 
     # small loser sets, collected once (see module docstring)
-    keepers = {
-        r["doc_id"] for r in exact_dedup(ds).take_all()
+    losers = {
+        r["doc_id"] for r in exact_dup_losers(ds).take_all()
     }
-    near_losers = {
+    losers |= {
         r["doc_b"]
         for r in ngram_jaccard_pairs(
-            ds, docs_ref, threshold=jaccard_threshold
+            ds, threshold=jaccard_threshold
         ).take_all()
     }
-    losers_ref = ray.put((keepers, near_losers))
+    losers_ref = ray.put(losers)
 
     class DropLosers:
-        def __init__(self, losers_ref=None, sets=None):
-            if sets is None and losers_ref is not None:
-                sets = ray.get(losers_ref)
-            self.keepers, self.near_losers = sets
+        def __init__(self, losers_ref=None, losers=None):
+            if losers is None and losers_ref is not None:
+                losers = ray.get(losers_ref)
+            self.losers = losers
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_pylist()
-            mask = pa.array(
-                [d in self.keepers and d not in self.near_losers
-                 for d in ids],
-                pa.bool_(),
-            )
+            mask = pa.array([d not in self.losers for d in ids], pa.bool_())
             return batch.filter(mask)
 
     survivors = ds.map_batches(

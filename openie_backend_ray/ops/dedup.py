@@ -7,11 +7,12 @@ Scale shape (the part that matters at 100 TB):
   16-byte digest (never on the raw text), min-doc_id reducer.
 - minhash: signatures are computed batch-local (shingle -> md5 -> min),
   then (band, bucket) rows shuffle with a groupby — the only all-to-all
-  — and pairs are emitted per bucket with a cap so one degenerate
-  bucket cannot OOM a reducer.
+  — and each bucket emits STAR pairs against its min-id representative
+  (linear in bucket size: no skew cap needed, no pairs silently
+  dropped; every duplicate is still tied to its anchor).
 - jaccard verify: runs on the *candidate pairs* (LSH output), never all
-  pairs; per-pair shingle sets are re-derived from a broadcast doc map
-  at fixture scale / a hash-join at real scale.
+  pairs; per-pair shingle sets are hash-joined from the docs table onto
+  the pair list (two ``Dataset.join``s) — no process holds the corpus.
 - embedding near-dup: brute-force cosine per batch against a broadcast
   float64 matrix (numpy matmul), threshold filter; the LSH/IVF path for
   scale lives in ``similarity.py``.
@@ -31,7 +32,6 @@ import pyarrow.compute as pc
 NUM_PERM = 12
 BANDS = 4  # rows per band = NUM_PERM // BANDS
 SHINGLE_K = 3
-MAX_BUCKET = 64  # pair-emit cap per LSH bucket (skew guard)
 
 
 # ---------------------------------------------------------------------------
@@ -104,77 +104,111 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(group["doc_id"].to_pylist())[:MAX_BUCKET]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(b, pa.int64())})
+    """Star pairs: every bucket member pairs with the bucket's min
+    doc_id (the representative).  Linear in bucket size — a degenerate
+    bucket of N identical docs emits N-1 pairs, not N^2/2, so no skew
+    cap (and no silently dropped duplicates) is needed; dedup semantics
+    are preserved because every member is still tied to the anchor."""
+    ids = sorted(set(group["doc_id"].to_pylist()))
+    anchor = ids[0]
+    return pa.table({"doc_a": pa.array([anchor] * (len(ids) - 1), pa.int64()),
+                     "doc_b": pa.array(ids[1:], pa.int64())})
+
+
+def _distinct_pairs(pairs):
+    """Distinct (doc_a, doc_b) via a hash aggregate (cheaper than one
+    map_groups Python call per pair)."""
+    return pairs.groupby(["doc_a", "doc_b"]).count().select_columns(
+        ["doc_a", "doc_b"]
+    )
 
 
 def minhash_pairs(ds):
-    """LSH candidate duplicate pairs (doc_a < doc_b), distinct across
-    bands. Shuffles only (band, bucket, doc_id) tuples."""
+    """LSH candidate duplicate pairs (doc_a < doc_b, doc_a the bucket
+    representative), distinct across bands. Shuffles only (band,
+    bucket, doc_id) tuples."""
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
     pairs = bands.groupby(["band", "bucket"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
     # distinct (a pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verify (on candidate pairs)
 # ---------------------------------------------------------------------------
 
-class JaccardVerifier:
-    """Actor: holds the doc_id -> shingle-set map (broadcast once via
-    ray.put at fixture scale; at 100 TB this becomes a hash-join of the
-    pair list against the docs table on doc_id — same semantics)."""
-
-    def __init__(self, docs_ref=None, docs: pa.Table | None = None):
-        if docs is None and docs_ref is not None:
-            import ray
-
-            docs = ray.get(docs_ref)
-        assert docs is not None
-        toks = pc.split_pattern_regex(docs["text"], r"\s+").to_pylist()
-        self.sh = {
-            d: _shingles(t)
-            for d, t in zip(docs["doc_id"].to_pylist(), toks)
-        }
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch["doc_a"].to_pylist()
-        b_ids = batch["doc_b"].to_pylist()
-        jac = []
-        for a, b in zip(a_ids, b_ids):
-            sa, sb = self.sh.get(a, set()), self.sh.get(b, set())
-            union = len(sa | sb)
-            # raw int/int division: bit-identical to the SQL oracle
-            jac.append(len(sa & sb) / union if union else 0.0)
-        return pa.table(
-            {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
-             "jaccard": pa.array(jac, pa.float64())}
-        )
+# Acero (the kernel under Dataset.join) rejects list-typed non-key
+# columns, so the shingle set travels as ONE chr(30)-delimited string
+# per doc and is split back after the join.  chr(30) cannot occur
+# inside a shingle: shingles are whitespace-split tokens re-joined
+# with spaces, and \x1e is not produced by that split.
+_SH_SEP = "\x1e"
 
 
-def ngram_jaccard_pairs(ds, docs_ref, threshold: float = 0.5):
-    """Candidate pairs -> exact k-shingle Jaccard >= threshold."""
-    from openie_backend_ray.util import auto_pool
-
-    cands = minhash_pairs(ds)
-    scored = cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"docs_ref": docs_ref},
-        batch_format="pyarrow",
-        concurrency=auto_pool(0.25),
+def doc_shingles_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, packed distinct k-shingles) — the join side of the
+    Jaccard verify."""
+    toks = pc.split_pattern_regex(batch["text"], r"\s+").to_pylist()
+    sh = [_SH_SEP.join(sorted(_shingles(t))) for t in toks]
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "shingles": pa.array(sh, pa.string())}
     )
+
+
+def _score_pairs_batch(batch: pa.Table) -> pa.Table:
+    a = batch["sh_a"].to_pylist()
+    b = batch["sh_b"].to_pylist()
+    jac = []
+    for sa, sb in zip(a, b):
+        sa, sb = set(sa.split(_SH_SEP)), set(sb.split(_SH_SEP))
+        union = len(sa | sb)
+        # raw int/int division: bit-identical to the SQL oracle
+        jac.append(len(sa & sb) / union if union else 0.0)
+    return pa.table(
+        {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+         "jaccard": pa.array(jac, pa.float64())}
+    )
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.5,
+                        num_partitions: int | None = None):
+    """Candidate pairs -> exact k-shingle Jaccard >= threshold.
+
+    The shingle sets are HASH-JOINED from the docs table onto the
+    candidate pairs (two ``Dataset.join``s on doc_id) — nothing holds
+    the corpus in one process: the docs side shuffles once by hash of
+    doc_id, and only the candidate pairs (LSH output, tiny relative to
+    the corpus) flow through both joins."""
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+    cands = minhash_pairs(ds)
+    sh = ds.map_batches(doc_shingles_batch, batch_format="pyarrow")
+    j1 = cands.join(
+        sh, "inner", num_partitions, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "sh_a": b["shingles"]}),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        sh, "inner", num_partitions, on=("doc_b",), right_on=("doc_id",)
+    ).map_batches(
+        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "sh_a": b["sh_a"], "sh_b": b["shingles"]}),
+        batch_format="pyarrow",
+    )
+    scored = j2.map_batches(_score_pairs_batch, batch_format="pyarrow")
     return scored.filter(expr=f"jaccard >= {threshold}")
+
+
+def _join_partitions() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(4, cpus)
 
 
 # ---------------------------------------------------------------------------
@@ -233,15 +267,19 @@ def simhash_pairs(ds, max_hamming: int = 3):
                          "simhash": pa.array(full, pa.string())})
 
     def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["doc_id"].to_pylist(),
-                          group["simhash"].to_pylist()))[:MAX_BUCKET]
+        """Star pairs against the bucket's min doc_id (skew-linear, same
+        rationale as ``_bucket_pairs``), hamming-verified."""
+        rows = sorted(set(zip(group["doc_id"].to_pylist(),
+                              group["simhash"].to_pylist())))
+        anchor_id, anchor_sh = rows[0]
         a, b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(int(rows[i][1], 16) ^ int(rows[j][1], 16)).count("1")
-                if d <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
+        for did, h in rows[1:]:
+            if did == anchor_id:
+                continue
+            d = bin(int(anchor_sh, 16) ^ int(h, 16)).count("1")
+            if d <= max_hamming:
+                a.append(anchor_id)
+                b.append(did)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
 
@@ -249,9 +287,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
     cand = blk.groupby(["block", "block_val"]).map_groups(
         pairs, batch_format="pyarrow"
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(cand)
 
 
 # ---------------------------------------------------------------------------

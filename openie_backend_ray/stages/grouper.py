@@ -51,6 +51,12 @@ BLOB_GROUPS = pa.schema(
         ("arg2_norm", pa.string()),
         ("instances_blob", pa.binary()),
         ("size", pa.int32()),
+        # RAW (pre-dedup, pre-cap) instance count for the key: summed
+        # through merges so the reducer can apply the reference's
+        # >500k-raw-instances DROP (ScoobiReVerbGrouper.scala:38,90)
+        # even though per-block combining means it only ever sees a
+        # handful of partial rows per key.
+        ("raw_count", pa.int64()),
     ]
 )
 
@@ -104,7 +110,7 @@ def combine_batch(batch: pa.Table) -> pa.Table:
         by_key.setdefault(k, []).append(i)
     out = {k2: [] for k2 in
            ("key", "arg1_norm", "rel_norm", "arg2_norm",
-            "instances_blob", "size")}
+            "instances_blob", "size", "raw_count")}
     for k, idxs in by_key.items():
         insts = [all_insts[i] for i in idxs[:MAX_GROUP_INSTANCES]]
         insts = _dedup_cap(insts)
@@ -115,12 +121,21 @@ def combine_batch(batch: pa.Table) -> pa.Table:
         out["arg2_norm"].append(a2n[i0])
         out["instances_blob"].append(pickle.dumps(insts, protocol=4))
         out["size"].append(len(insts))
+        out["raw_count"].append(len(idxs))
     return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
 
 
-def merge_blob_groups(t: pa.Table) -> pa.Table:
-    """Reduce side: concat one key's partial groups (cheap: blobs only)."""
-    if t.num_rows > MAX_RAW_GROUP:
+def merge_blob_groups(t: pa.Table, drop: bool = True) -> pa.Table:
+    """Reduce side: concat one key's partial groups (cheap: blobs only).
+
+    ``drop=True`` (the FINAL merge) applies the reference's raw-size
+    drop: a key whose summed raw instance count exceeds 500k is
+    discarded outright, not truncated (ScoobiReVerbGrouper.scala:38,90).
+    Intermediate merges (the salted phase 1) pass ``drop=False`` so the
+    raw count keeps accumulating to the final reducer — dropping a
+    slice early would hide its count from the total."""
+    raw = sum(t["raw_count"].to_pylist())
+    if drop and raw > MAX_RAW_GROUP:
         return BLOB_GROUPS.empty_table()
     if t.num_rows == 1:
         return t
@@ -136,6 +151,7 @@ def merge_blob_groups(t: pa.Table) -> pa.Table:
             "arg2_norm": [t["arg2_norm"][0].as_py()],
             "instances_blob": [pickle.dumps(insts, protocol=4)],
             "size": [len(insts)],
+            "raw_count": [raw],
         },
         schema=BLOB_GROUPS,
     )
@@ -194,7 +210,7 @@ def combine_rows(rows) -> pa.Table:
         by_key.setdefault(k, []).append(i)
     out = {k2: [] for k2 in
            ("key", "arg1_norm", "rel_norm", "arg2_norm",
-            "instances_blob", "size")}
+            "instances_blob", "size", "raw_count")}
     for k, idxs in by_key.items():
         insts = _dedup_cap(
             [rows[i][2] for i in idxs[:MAX_GROUP_INSTANCES]]
@@ -206,6 +222,7 @@ def combine_rows(rows) -> pa.Table:
         out["arg2_norm"].append(norms[2])
         out["instances_blob"].append(pickle.dumps(insts, protocol=4))
         out["size"].append(len(insts))
+        out["raw_count"].append(len(idxs))
     return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
 
 
@@ -243,7 +260,7 @@ def group_extractions_salted(
     )
     salted = partial.map_batches(add_salt, batch_format="pyarrow")
     phase1 = salted.groupby(["key", "salt"]).map_groups(
-        lambda t: merge_blob_groups(t.drop_columns(["salt"])),
+        lambda t: merge_blob_groups(t.drop_columns(["salt"]), drop=False),
         batch_format="pyarrow",
     )
     merged = phase1.groupby("key").map_groups(

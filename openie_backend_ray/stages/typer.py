@@ -12,9 +12,9 @@ Phase one (``UnlinkableEntityTyper.scala:173-217``):
   (b) rel -> argNorm pairs for UNLINKED args (arg filter: len>=4, no
       3+-digit number, no stop token, :73-78);
   (c) attach each rel's RelInfo to <=1000 distinct args (:195-215) —
-      the reference coGroups; we BROADCAST the RelInfo table (small
-      after filtering: <=150 entities x surviving rels) via ray.put
-      into a map_batches probe (J2).
+      a co-group shuffle join like the reference's coGroup: RelInfo
+      rows and (rel, arg) rows union and groupby(rel_norm), so rel
+      cardinality never materializes anywhere (J2).
 
 Phase two (:219-243): groupby argNorm; read <=20k relinfos; entity
 weight = sum of 10^(4*relWeight) over rels containing it (:143); top-15
@@ -114,16 +114,16 @@ def rel_arg_pairs_batch(batch: pa.Table, settings: TyperSettings) -> pa.Table:
     )
 
 
-def _rel_weight(entities: list[tuple[str, frozenset]]) -> float:
+def _rel_weight(entities: list[tuple[str, tuple]]) -> float:
     """Pairwise type-overlap ratio (:119-136)."""
     n = len(entities)
     if n <= 1:
         return 0.0
     hits = 0
+    sets = [frozenset(t) for _, t in entities]
     for i in range(n):
-        ti = entities[i][1]
         for j in range(i + 1, n):
-            if ti & entities[j][1]:
+            if sets[i] & sets[j]:
                 hits += 1
     return hits / (n * (n - 1) / 2.0)
 
@@ -134,10 +134,14 @@ def build_rel_info(group: pa.Table, settings: TyperSettings) -> pa.Table:
     rel = group["rel_norm"][0].as_py()
     fbids = group["fbid"].to_pylist()[: settings.max_entities_read_per_rel]
     types = group["types"].to_pylist()[: settings.max_entities_read_per_rel]
-    # dedupe per fbid, keep first types seen
-    seen: dict[str, frozenset] = {}
+    # dedupe per fbid; keep the min sorted type tuple (deterministic
+    # regardless of shuffle arrival order — the reference keeps an
+    # arbitrary first)
+    seen: dict[str, tuple] = {}
     for f, t in zip(fbids, types):
-        seen.setdefault(f, frozenset(t))
+        cand = tuple(sorted(set(t)))
+        if f not in seen or cand < seen[f]:
+            seen[f] = cand
     sampled = sorted(
         seen.items(),
         key=lambda kv: hashlib.md5(f"{rel}:{kv[0]}".encode()).hexdigest(),
@@ -167,40 +171,80 @@ def build_rel_info(group: pa.Table, settings: TyperSettings) -> pa.Table:
     )
 
 
-class RelInfoAttacher:
-    """(c): broadcast RelInfo probe — each (rel, arg) row picks up its
-    rel's RelInfo; caps distinct args per rel at 1000 ACROSS the run by
-    hashing (deterministic stand-in for the reference's arbitrary
-    ``take(1000)``)."""
+# co-group row layout: RelInfo rows carry a null arg_norm, (rel, arg)
+# rows carry null payload fields; one groupby(rel_norm) joins them
+# (the reference's coGroup, UnlinkableEntityTyper.scala:195-215)
+_JOINED = pa.schema(
+    [
+        ("rel_norm", pa.string()),
+        ("arg_norm", pa.string()),
+        ("weight", pa.float64()),
+        ("ent_fbids", pa.list_(pa.string())),
+        ("ent_types", pa.list_(pa.list_(pa.string()))),
+    ]
+)
 
-    def __init__(self, rel_infos_ref=None, rel_infos: dict | None = None,
-                 max_args_per_rel_info: int = 1000):
-        if rel_infos is None and rel_infos_ref is not None:
-            import ray
 
-            rel_infos = ray.get(rel_infos_ref)
-        self.rel_infos = rel_infos or {}
-        self.cap = max_args_per_rel_info
+def _pad_info(b: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "rel_norm": b["rel_norm"],
+            "arg_norm": pa.nulls(b.num_rows, pa.string()),
+            "weight": b["weight"],
+            "ent_fbids": b["ent_fbids"],
+            "ent_types": b["ent_types"],
+        },
+        schema=_JOINED,
+    )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rels = batch["rel_norm"].to_pylist()
-        args = batch["arg_norm"].to_pylist()
-        out_arg, out_rel = [], []
-        for r, a in zip(rels, args):
-            if r not in self.rel_infos:
-                continue
-            # per-rel arg cap via hash bucketing (deterministic)
-            if int(hashlib.md5(f"{r}|{a}".encode()).hexdigest()[:8], 16) \
-                    % 100000 >= self.cap * 100:
-                continue
-            out_arg.append(a)
-            out_rel.append(r)
-        return pa.table(
-            {
-                "arg_norm": pa.array(out_arg, pa.string()),
-                "rel_norm": pa.array(out_rel, pa.string()),
-            }
-        )
+
+def _pad_args(b: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "rel_norm": b["rel_norm"],
+            "arg_norm": b["arg_norm"],
+            "weight": pa.nulls(b.num_rows, pa.float64()),
+            "ent_fbids": pa.nulls(b.num_rows, pa.list_(pa.string())),
+            "ent_types": pa.nulls(
+                b.num_rows, pa.list_(pa.list_(pa.string()))
+            ),
+        },
+        schema=_JOINED,
+    )
+
+
+def attach_rel_info_group(g: pa.Table, settings: TyperSettings) -> pa.Table:
+    """(c) per-rel co-group reducer (J2): replicate the rel's RelInfo
+    onto <= max_args_per_rel_info distinct args.  The reference takes an
+    arbitrary 1000 (:195-215); we take the first 1000 in md5(rel|arg)
+    order — deterministic across runs, partitionings and engines."""
+    rel = g["rel_norm"][0].as_py()
+    weights = g["weight"].to_pylist()
+    info = next((i for i, w in enumerate(weights) if w is not None), None)
+    if info is None:
+        return _JOINED.empty_table()
+    args = sorted(
+        {a for a in g["arg_norm"].to_pylist() if a is not None},
+        key=lambda a: hashlib.md5(f"{rel}|{a}".encode()).hexdigest(),
+    )[: settings.max_args_per_rel_info]
+    if not args:
+        return _JOINED.empty_table()
+    n = len(args)
+    return pa.table(
+        {
+            "rel_norm": pa.array([rel] * n, pa.string()),
+            "arg_norm": pa.array(args, pa.string()),
+            "weight": pa.array([weights[info]] * n, pa.float64()),
+            "ent_fbids": pa.array(
+                [g["ent_fbids"][info].as_py()] * n, pa.list_(pa.string())
+            ),
+            "ent_types": pa.array(
+                [g["ent_types"][info].as_py()] * n,
+                pa.list_(pa.list_(pa.string())),
+            ),
+        },
+        schema=_JOINED,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -208,16 +252,15 @@ class RelInfoAttacher:
 # ---------------------------------------------------------------------------
 
 def predict_types_for_arg(
-    group: pa.Table, rel_infos: dict, settings: TyperSettings
+    arg: str, rel_infos: dict, settings: TyperSettings
 ) -> pa.Table:
-    """Per-arg reducer (:219-243): top entities by 10^(4w) weight, types
-    shared by >= min_share_score of them."""
-    arg = group["arg_norm"][0].as_py()
-    rels = list(dict.fromkeys(group["rel_norm"].to_pylist()))[
-        : settings.max_rel_infos_read_per_arg
-    ]
+    """Per-arg prediction (:219-243): top entities by 10^(4w) weight,
+    types shared by >= min_share_score of them.  Rels iterate in sorted
+    order and an entity's type set is the min over contributing rels —
+    both deterministic regardless of shuffle arrival order."""
+    rels = sorted(rel_infos)[: settings.max_rel_infos_read_per_arg]
     ent_weights: dict[str, int] = {}
-    ent_types: dict[str, frozenset] = {}
+    ent_types: dict[str, tuple] = {}
     total = 0
     for r in rels:
         info = rel_infos.get(r)
@@ -231,7 +274,9 @@ def predict_types_for_arg(
         w = int(10.0 ** (4.0 * weight) * 1e6)
         for f, ts in zip(fbids, typess):
             ent_weights[f] = ent_weights.get(f, 0) + w
-            ent_types.setdefault(f, frozenset(ts))
+            cand = tuple(sorted(set(ts)))
+            if f not in ent_types or cand < ent_types[f]:
+                ent_types[f] = cand
             total += w
     empty = pa.table(
         {
@@ -278,11 +323,13 @@ def predict_types_for_arg(
 def predict_arg_types(groups_ds, settings: TyperSettings | None = None):
     """GROUPS dataset -> TypePredictions dataset (G7+G8).
 
-    Shuffle structure: ONE groupby(rel_norm) to build RelInfos (small
-    output, collected + broadcast), ONE groupby(arg_norm) to predict.
+    Shuffle structure — nothing materializes on the driver:
+    ONE groupby(rel_norm) builds RelInfos; a SECOND groupby(rel_norm)
+    over the union of RelInfo rows and (rel, arg) rows co-groups them
+    (the reference's coGroup, :195-215), replicating each rel's payload
+    onto its args; ONE groupby(arg_norm) predicts.  Rel/arg cardinality
+    can be unbounded — every step stays a Dataset.
     """
-    import ray
-
     settings = settings or TyperSettings()
 
     rel_ents = groups_ds.map_batches(
@@ -292,87 +339,93 @@ def predict_arg_types(groups_ds, settings: TyperSettings | None = None):
     rel_info_ds = rel_ents.groupby("rel_norm").map_groups(
         lambda g: build_rel_info(g, settings), batch_format="pyarrow"
     )
-    # RelInfo table is small by construction (<=150 entities per
-    # surviving rel): collect once, broadcast to the probe + phase two.
-    rel_info_tbl = rel_info_ds.take_all()
-    rel_infos = {
-        r["rel_norm"]: (r["weight"], r["ent_fbids"], r["ent_types"])
-        for r in rel_info_tbl
-    }
-    rel_infos_ref = ray.put(rel_infos)
-
     rel_args = groups_ds.map_batches(
         lambda b: rel_arg_pairs_batch(b, settings), batch_format="pyarrow"
     )
-    arg_rel = rel_args.map_batches(
-        RelInfoAttacher,
-        fn_constructor_kwargs={
-            "rel_infos_ref": rel_infos_ref,
-            "max_args_per_rel_info": settings.max_args_per_rel_info,
-        },
-        batch_format="pyarrow",
-        concurrency=_pool(),
-    )
-    return arg_rel.groupby("arg_norm").map_groups(
-        _predict_closure(rel_infos, settings), batch_format="pyarrow"
-    )
-
-
-def _predict_closure(rel_infos: dict, settings: TyperSettings):
-    def fn(group: pa.Table) -> pa.Table:
-        return predict_types_for_arg(group, rel_infos, settings)
-
-    return fn
-
-
-def _pool():
-    from openie_backend_ray.util import auto_pool
-
-    return auto_pool(0.5)
-
-
-class TypeAttacherActor:
-    """G9: broadcast TypePrediction probe over GROUPS rows — attach
-    predicted types only where the arg is untyped."""
-
-    def __init__(self, preds_ref=None, preds: dict | None = None,
-                 arg_field: str = "arg1"):
-        if preds is None and preds_ref is not None:
-            import ray
-
-            preds = ray.get(preds_ref)
-        self.preds = preds or {}
-        self.arg_field = arg_field
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        typ_col = f"{self.arg_field}_types"
-        args = batch[f"{self.arg_field}_norm"].to_pylist()
-        types = batch[typ_col].to_pylist()
-        new_types = [
-            (self.preds.get(a) or t) if not t else t
-            for a, t in zip(args, types)
-        ]
-        idx = batch.column_names.index(typ_col)
-        return batch.set_column(
-            idx, typ_col, pa.array(new_types, pa.list_(pa.string()))
+    joined = (
+        rel_info_ds.map_batches(_pad_info, batch_format="pyarrow")
+        .union(rel_args.map_batches(_pad_args, batch_format="pyarrow"))
+        .groupby("rel_norm")
+        .map_groups(
+            lambda g: attach_rel_info_group(g, settings),
+            batch_format="pyarrow",
         )
+    )
+
+    def predict(g: pa.Table) -> pa.Table:
+        arg = g["arg_norm"][0].as_py()
+        rel_infos = {
+            g["rel_norm"][i].as_py(): (
+                g["weight"][i].as_py(),
+                g["ent_fbids"][i].as_py(),
+                g["ent_types"][i].as_py(),
+            )
+            for i in range(g.num_rows)
+        }
+        return predict_types_for_arg(arg, rel_infos, settings)
+
+    return joined.groupby("arg_norm").map_groups(
+        predict, batch_format="pyarrow"
+    )
+
+
+# attach join row layout: GROUPS columns + the prediction payload; pred
+# rows carry null GROUPS fields, group rows a null payload
+def _att_schema(arg_field: str) -> pa.Schema:
+    from openie_backend_ray import schema as S
+
+    return pa.schema(
+        list(S.GROUPS) + [("ptypes", pa.list_(pa.string()))]
+    )
 
 
 def attach_types(groups_ds, preds_ds, arg_field: str = "arg1"):
-    """GROUPS + TypePredictions -> GROUPS with types attached (G9).
-    The predictions side is collected + broadcast (it is the typer's
-    small output); at 100 TB the same probe runs against a
-    hash-partitioned prediction shard per actor."""
-    import ray
+    """GROUPS + TypePredictions -> GROUPS with types attached (G9), as a
+    co-group shuffle join on argNorm (``TypeAttacher.scala:15-69``; the
+    reference salts sub-4-char keys against huge reduce groups — here a
+    groupby key is one argNorm whose group rows are already aggregated,
+    so the group fan-in is the argNorm's distinct-triple count).
+    Attaches only where the arg is currently untyped (:37-40)."""
+    from openie_backend_ray import schema as S
 
-    preds = {
-        r["arg_norm"]: list(r["types"]) for r in preds_ds.take_all()
-    }
-    preds_ref = ray.put(preds)
-    return groups_ds.map_batches(
-        TypeAttacherActor,
-        fn_constructor_kwargs={"preds_ref": preds_ref,
-                               "arg_field": arg_field},
-        batch_format="pyarrow",
-        concurrency=_pool(),
+    att = _att_schema(arg_field)
+    key = f"{arg_field}_norm"
+    typ_col = f"{arg_field}_types"
+
+    def pad_groups(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in S.GROUPS.names}
+        cols["ptypes"] = pa.nulls(b.num_rows, pa.list_(pa.string()))
+        return pa.table(cols, schema=att)
+
+    def pad_preds(b: pa.Table) -> pa.Table:
+        cols = {
+            n: pa.nulls(b.num_rows, att.field(n).type)
+            for n in S.GROUPS.names
+        }
+        cols[key] = b["arg_norm"]
+        cols["ptypes"] = b["types"]
+        return pa.table(cols, schema=att)
+
+    def attach(g: pa.Table) -> pa.Table:
+        sizes = g["size"].to_pylist()
+        ptypes = g["ptypes"].to_pylist()
+        pred = next((p for p in ptypes if p is not None), None)
+        keep = [i for i, s in enumerate(sizes) if s is not None]
+        if not keep:
+            return S.GROUPS.empty_table()
+        out = g.take(keep).drop_columns(["ptypes"])
+        if pred is None:
+            return out
+        types = out[typ_col].to_pylist()
+        new_types = [t if t else list(pred) for t in types]
+        idx = out.column_names.index(typ_col)
+        return out.set_column(
+            idx, typ_col, pa.array(new_types, pa.list_(pa.string()))
+        )
+
+    return (
+        groups_ds.map_batches(pad_groups, batch_format="pyarrow")
+        .union(preds_ds.map_batches(pad_preds, batch_format="pyarrow"))
+        .groupby(key)
+        .map_groups(attach, batch_format="pyarrow")
     )

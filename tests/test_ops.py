@@ -197,6 +197,6 @@ def test_clean_corpus_drops_dups_and_junk(ray_session):
         }
     )
     out = clean_corpus(
-        rd.from_arrow(docs), ray.put(docs), jaccard_threshold=0.5
+        rd.from_arrow(docs), jaccard_threshold=0.5
     ).to_pandas()
     assert sorted(out.doc_id) == [1, 5]

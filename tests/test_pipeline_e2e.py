@@ -202,7 +202,7 @@ def test_head_key_skew_caps(ray_session):
     def mk_rows(n, key):
         rows = {c: [] for c in
                 ("key", "arg1_norm", "rel_norm", "arg2_norm",
-                 "instances_blob", "size")}
+                 "instances_blob", "size", "raw_count")}
         import pickle
 
         for i in range(n):
@@ -223,6 +223,7 @@ def test_head_key_skew_caps(ray_session):
             rows["instances_blob"].append(
                 pickle.dumps([inst], protocol=4))
             rows["size"].append(1)
+            rows["raw_count"].append(1)
         return pa.Table.from_pydict(rows, schema=G.BLOB_GROUPS)
 
     # cap scaled down process-locally (the reducer function is the
@@ -249,3 +250,52 @@ def test_head_key_skew_caps(ray_session):
             G.MAX_RAW_GROUP = orig_raw
     finally:
         G.MAX_GROUP_INSTANCES = orig
+
+
+def test_raw_group_drop_counts_raw_instances(ray_session):
+    """The >500k drop fires on the summed RAW instance count, not the
+    partial-row count: per-block combining delivers a 600k-instance hot
+    key as a handful of partial rows, and it must still be DROPPED
+    (reference drops on raw size, ScoobiReVerbGrouper.scala:38,90) —
+    at PRODUCTION caps, no test-local scaling."""
+    import pickle
+
+    import pyarrow as pa
+
+    from openie_backend_ray.stages import grouper as G
+
+    inst = {
+        "tokens": ["obama", "visited", "paris", "."],
+        "postags": ["NNP", "VBD", "NNP", "."],
+        "chunks": ["B-NP", "B-VP", "B-NP", "O"],
+        "arg1": {"start": 0, "end": 1},
+        "rel": {"start": 1, "end": 2},
+        "arg2": {"start": 2, "end": 3},
+        "source_url": "u", "corpus": "cw", "confidence": 0.9,
+    }
+
+    def partials(raw_each, n=3):
+        return pa.Table.from_pydict(
+            {
+                "key": ["obama__visit__paris"] * n,
+                "arg1_norm": ["obama"] * n,
+                "rel_norm": ["visit"] * n,
+                "arg2_norm": ["paris"] * n,
+                "instances_blob": [pickle.dumps([inst], protocol=4)] * n,
+                "size": [1] * n,
+                "raw_count": [raw_each] * n,
+            },
+            schema=G.BLOB_GROUPS,
+        )
+
+    # 3 partials x 200k raw = 600k > 500k -> dropped outright
+    assert G.merge_blob_groups(partials(200_000)).num_rows == 0
+    # 3 x 100k = 300k <= 500k -> merges, raw count accumulates
+    out = G.merge_blob_groups(partials(100_000))
+    assert out.num_rows == 1
+    assert out["raw_count"][0].as_py() == 300_000
+    # intermediate (salted phase-1) merges never drop: the raw count
+    # must reach the final reducer intact
+    mid = G.merge_blob_groups(partials(200_000), drop=False)
+    assert mid.num_rows == 1
+    assert mid["raw_count"][0].as_py() == 600_000
