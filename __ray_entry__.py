@@ -321,6 +321,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_openie4_triples(sf_dir: str):
+        """OpenIE4 corpus path (M3/M4 -> G1): sf docs + fixture corpus
+        -> chunk -> Relnoun T-extractions -> keyed -> grouped."""
+        import pyarrow as pa
+        import ray
+
+        from openie_backend_ray.fixtures.corpus import (
+            build_chunker_lexicon,
+            documents_dataset,
+        )
+        from openie_backend_ray.stages.chunker import ChunkerActor
+        from openie_backend_ray.stages.openie4 import openie4_triples
+        from openie_backend_ray.stages.sentences import explode_text_spans
+        from openie_backend_ray.util import auto_pool
+
+        docs = _interleaved_docs(sf_dir).union(documents_dataset(n_blocks=8))
+        lex_ref = ray.put(build_chunker_lexicon())
+        # two actor pools + a shuffle share the cluster: budget the
+        # fracs (0.35 + 0.35) so the G1 sort tasks never starve
+        chunked = docs.map_batches(
+            explode_text_spans, batch_format="pyarrow"
+        ).map_batches(
+            ChunkerActor,
+            fn_constructor_kwargs={"lexicon_ref": lex_ref},
+            batch_format="pyarrow",
+            concurrency=auto_pool(0.35),
+        )
+        groups = openie4_triples(
+            chunked, corpus="cw", concurrency=auto_pool(0.35)
+        )
+        return groups.map_batches(
+            lambda b: pa.table(
+                {"arg1_norm": b["arg1_norm"],
+                 "rel_norm": b["rel_norm"],
+                 "arg2_norm": b["arg2_norm"],
+                 "size": b["size"]}
+            ),
+            batch_format="pyarrow",
+        )
+
     def q_type_predictions(sf_dir: str):
         from openie_backend_ray.stages.typer import (
             TyperSettings,
@@ -374,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "renormalize": q_renormalize,
         "canonicalize": q_canonicalize,
         "type_predictions": q_type_predictions,
+        "openie4_triples": q_openie4_triples,
     }
 
 

@@ -11,12 +11,14 @@ frame); Relnoun triples are also mirrored as single-arg2 Narys
 (:53-58) filters by prefix and strips it — here ``kind`` is a COLUMN
 and the splitter is a vectorized filter + projection, not a reparse.
 
-The SRL and Relnoun MODELS are not available in this environment: the
+The SRL MODEL is not available in this environment: the
 dependency-parse path is stubbed behind ``SrlBackend``
-(NotImplementedError), and ``RuleRelnoun`` is a small deterministic
-appositive/possessive pattern ("X, the Y of Z" / "X's Y, Z") so the
-Ray-side plumbing — frame triplize, schemas, splitter, actor batching —
-is real and tested. Swap ``srl_backend``/``relnoun`` in production.
+(NotImplementedError).  ``Relnoun`` is a from-scratch rule port of the
+PUBLIC knowitall/chunkedextractor Relnoun pattern inventory
+(appositive, of-comma, adjective-descriptor, possessive,
+possessive-appositive, possessive-is, is-possessive, of-is) over
+(tokens, postags) — deterministic, one test per pattern.  Swap
+``srl_backend`` in production.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ OIE4 = pa.schema(
         ("corpus", pa.string()),
         ("tokens", pa.list_(pa.string())),
         ("postags", pa.list_(pa.string())),
+        ("chunks", pa.list_(pa.string())),
         ("arg1_text", pa.string()),
         ("rel_text", pa.string()),
         ("arg2_texts", pa.list_(pa.string())),  # len 1 for kind == "T"
@@ -51,19 +54,25 @@ OIE4 = pa.schema(
 
 @dataclass
 class Frame:
-    """An SRL-style frame: rel + arg1 + 1..k arg2s (token intervals)."""
+    """An SRL-style frame: rel + arg1 + 1..k arg2s (token intervals).
+    ``rel_text`` overrides the surface text of the relation when the
+    extractor synthesizes glue words (Relnoun's "is <noun> of") that do
+    not appear in the sentence; the interval still points at the real
+    relation-noun tokens."""
 
     arg1: tuple[int, int]
     rel: tuple[int, int]
     arg2s: list[tuple[int, int]] = field(default_factory=list)
     confidence: float = 0.5
+    rel_text: str | None = None
 
     def triplize(self) -> list["Frame"]:
         """Reference ``triplize()``: one triple frame per arg2, keeping
         that arg2 first (``ScoobiOpenIE4.scala:104-107`` takes
         ``arg2s.head`` of each triplized frame)."""
         return [
-            Frame(self.arg1, self.rel, [a2], self.confidence)
+            Frame(self.arg1, self.rel, [a2], self.confidence,
+                  self.rel_text)
             for a2 in self.arg2s
         ]
 
@@ -81,29 +90,160 @@ class SrlBackend:
         raise NotImplementedError
 
 
-class RuleRelnoun:
-    """Deterministic Relnoun stand-in: appositive 'X , DT? Y of Z'
-    noun-relation pattern -> (X, "is the Y of", Z)."""
+class Relnoun:
+    """From-scratch port of the PUBLIC knowitall/chunkedextractor
+    Relnoun pattern set (the noun-mediated relation extractor the
+    reference instantiates at ``ScoobiOpenIE4.scala:40``), as
+    deterministic token/POS rules.  All patterns emit
+    (person-NP; "is <noun> of"; owner-NP) at confidence 0.8 with the
+    relation interval on the actual relation-noun tokens:
+
+    1. appositive              "Barack Obama, the president of the US"
+    2. of-comma                "The president of the US, Barack Obama"
+    3. adjective-descriptor    "US president Barack Obama"
+    4. possessive              "US 's president Barack Obama"
+    5. possessive-appositive   "US 's president, Barack Obama"
+    6. possessive-is           "US 's president is Barack Obama"
+    7. is-possessive           "Barack Obama is the US 's president"
+    8. of-is                   "The president of the US is Barack Obama"
+    """
+
+    _BE = frozenset({"is", "was", "are", "were", "be", "been", "being"})
+
+    def _pnp(self, tags, i):
+        """Consume a proper-noun phrase [i, j) (NNP/NNPS run)."""
+        j = i
+        while j < len(tags) and tags[j].startswith("NNP"):
+            j += 1
+        return j
+
+    def _np(self, tags, i):
+        """Consume DT? JJ* NN(S)+ — a common-noun phrase; returns
+        (noun_start, end) or None.  noun_start skips the determiner so
+        the relation interval holds content tokens only."""
+        n = len(tags)
+        j = i
+        if j < n and tags[j] == "DT":
+            j += 1
+        k = j
+        while k < n and tags[k] in ("JJ", "JJR", "JJS"):
+            k += 1
+        m = k
+        while m < n and tags[m] in ("NN", "NNS"):
+            m += 1
+        if m == k:
+            return None
+        return j, m
+
+    def _anp(self, tags, i):
+        """Consume DT? (NNP+ | JJ* NN+) — any noun phrase; returns
+        (content_start, end) or None.  Used for the of-object /
+        possessor slot, which may be a common NP ("the mother of
+        programming")."""
+        n = len(tags)
+        j = i
+        if j < n and tags[j] == "DT":
+            j += 1
+        e = self._pnp(tags, j)
+        if e > j:
+            return j, e
+        return self._np(tags, j)
+
+    def _frame(self, toks, arg1, rel, arg2):
+        rel_text = "is " + " ".join(toks[rel[0]: rel[1]]) + " of"
+        return Frame(arg1, rel, [arg2], RELNOUN_CONF, rel_text)
 
     def extract(self, tokens: list[str], postags: list[str]) -> list[Frame]:
         out = []
         n = len(tokens)
-        for i in range(n - 4):
-            if postags[i].startswith("NNP") and tokens[i + 1] == ",":
-                j = i + 2
-                if j < n and postags[j] == "DT":
-                    j += 1
-                if j < n and postags[j].startswith("NN") and \
-                        j + 1 < n and tokens[j + 1].lower() == "of":
-                    k = j + 2
-                    end = k
-                    while end < n and (postags[end].startswith("NN")
-                                       or postags[end] == "DT"):
-                        end += 1
-                    if end > k:
-                        out.append(Frame((i, i + 1), (i + 2, j + 2),
-                                         [(k, end)], RELNOUN_CONF))
+        tags = postags
+
+        for i in range(n):
+            if not tags[i].startswith("NNP"):
+                continue
+            j = self._pnp(tags, i)
+            if i > 0 and tags[i - 1].startswith("NNP"):
+                continue  # only scan from the start of each NNP run
+
+            # -- patterns anchored on a leading proper NP [i, j) ------
+            # 1. appositive: PNP , DT? JJ* NN+ of NP2
+            if j < n and tokens[j] == ",":
+                np = self._np(tags, j + 1)
+                if np and np[1] < n and tokens[np[1]].lower() == "of":
+                    obj = self._anp(tags, np[1] + 1)
+                    if obj:
+                        out.append(
+                            self._frame(tokens, (i, j), np, obj))
+            # 3. adjective-descriptor: PNP NN+ PNP2  (US president Obama)
+            np = self._np(tags, j)
+            if np and np[0] == j:  # no determiner inside
+                k2 = np[1]
+                e2 = self._pnp(tags, k2)
+                if e2 > k2:
+                    out.append(self._frame(tokens, (k2, e2), np, (i, j)))
+            # 4/5/6. possessive family: PNP 's NN+ ...
+            if j < n and tags[j] == "POS":
+                np = self._np(tags, j + 1)
+                if np and np[0] == j + 1:
+                    k2 = np[1]
+                    # 6. possessive-is: ... is PNP2
+                    if (k2 < n and tokens[k2].lower() in self._BE
+                            and tags[k2].startswith("VB")):
+                        e2 = self._pnp(tags, k2 + 1)
+                        if e2 > k2 + 1:
+                            out.append(self._frame(
+                                tokens, (k2 + 1, e2), np, (i, j)))
+                    else:
+                        # 5. possessive-appositive: ... , PNP2
+                        if k2 < n and tokens[k2] == ",":
+                            k2 += 1
+                        # 4. possessive: ... PNP2
+                        e2 = self._pnp(tags, k2)
+                        if e2 > k2:
+                            out.append(self._frame(
+                                tokens, (k2, e2), np, (i, j)))
+            # 7. is-possessive: PNP is DT? PNP2 's NN+
+            if (j < n and tokens[j].lower() in self._BE
+                    and tags[j].startswith("VB")):
+                k2 = j + 1
+                if k2 < n and tags[k2] == "DT":
+                    k2 += 1
+                e2 = self._pnp(tags, k2)
+                if e2 > k2 and e2 < n and tags[e2] == "POS":
+                    np = self._np(tags, e2 + 1)
+                    if np and np[0] == e2 + 1:
+                        out.append(
+                            self._frame(tokens, (i, j), np, (k2, e2)))
+
+        # -- patterns anchored on a leading common-noun phrase --------
+        for i in range(n):
+            if tags[i] != "DT" and i != 0:
+                continue
+            np = self._np(tags, i)
+            if not np or np[1] >= n or tokens[np[1]].lower() != "of":
+                continue
+            obj = self._anp(tags, np[1] + 1)
+            if not obj:
+                continue
+            e2 = obj[1]
+            # 8. of-is: NN of NP is PNP2
+            if (e2 < n and tokens[e2].lower() in self._BE
+                    and tags[e2].startswith("VB")):
+                e3 = self._pnp(tags, e2 + 1)
+                if e3 > e2 + 1:
+                    out.append(
+                        self._frame(tokens, (e2 + 1, e3), np, obj))
+            # 2. of-comma: NN of NP , PNP2
+            elif e2 < n and tokens[e2] == ",":
+                e3 = self._pnp(tags, e2 + 1)
+                if e3 > e2 + 1:
+                    out.append(
+                        self._frame(tokens, (e2 + 1, e3), np, obj))
         return out
+
+
+# backwards-compatible alias (round-1 name)
+RuleRelnoun = Relnoun
 
 
 class OpenIE4Actor:
@@ -113,13 +253,13 @@ class OpenIE4Actor:
     def __init__(self, corpus: str = "corpus", srl_backend=None,
                  relnoun=None):
         self.corpus = corpus
-        self.relnoun = relnoun if relnoun is not None else RuleRelnoun()
+        self.relnoun = relnoun if relnoun is not None else Relnoun()
         self.srl = srl_backend  # None = SRL path off (model absent)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {name: [] for name in OIE4.names}
 
-        def emit(kind, doc_id, span_idx, toks, tags, frame):
+        def emit(kind, doc_id, span_idx, toks, tags, chks, url, frame):
             def txt(iv):
                 return " ".join(toks[iv[0]: iv[1]])
 
@@ -130,8 +270,9 @@ class OpenIE4Actor:
             rows["corpus"].append(self.corpus)
             rows["tokens"].append(toks)
             rows["postags"].append(tags)
+            rows["chunks"].append(chks)
             rows["arg1_text"].append(txt(frame.arg1))
-            rows["rel_text"].append(txt(frame.rel))
+            rows["rel_text"].append(frame.rel_text or txt(frame.rel))
             rows["arg2_texts"].append([txt(a) for a in frame.arg2s])
             rows["arg1"].append({"start": frame.arg1[0],
                                  "end": frame.arg1[1]})
@@ -140,14 +281,24 @@ class OpenIE4Actor:
             rows["arg2s"].append(
                 [{"start": a[0], "end": a[1]} for a in frame.arg2s]
             )
-            rows["source_url"].append("")
+            rows["source_url"].append(url)
 
         doc_ids = batch["doc_id"].to_pylist()
         span_idxs = batch["span_idx"].to_pylist()
         toks_col = batch["tokens"].to_pylist()
         tags_col = batch["postags"].to_pylist()
-        for doc_id, span_idx, toks, tags in zip(
-            doc_ids, span_idxs, toks_col, tags_col
+        chks_col = (
+            batch["chunks"].to_pylist()
+            if "chunks" in batch.column_names
+            else [[] for _ in doc_ids]
+        )
+        url_col = (
+            batch["source_url"].to_pylist()
+            if "source_url" in batch.column_names
+            else [""] * len(doc_ids)
+        )
+        for doc_id, span_idx, toks, tags, chks, url in zip(
+            doc_ids, span_idxs, toks_col, tags_col, chks_col, url_col
         ):
             try:
                 relnoun_frames = self.relnoun.extract(toks, tags)
@@ -161,18 +312,19 @@ class OpenIE4Actor:
                     ]
                 except Exception:
                     srl_frames = []
-            # triples: relnoun + triplized SRL (:104-112)
+            # triples: relnoun + ALL triplized SRL frames (:104-112,
+            # flatMap(_.triplize()) emits one triple per arg2)
             for f in relnoun_frames:
-                emit("T", doc_id, span_idx, toks, tags, f)
+                emit("T", doc_id, span_idx, toks, tags, chks, url, f)
             for f in srl_frames:
-                for t in f.triplize()[:1]:
-                    emit("T", doc_id, span_idx, toks, tags, t)
+                for t in f.triplize():
+                    emit("T", doc_id, span_idx, toks, tags, chks, url, t)
             # nary: SRL frames + relnoun mirrored as 1-arg2 nary
             # (:121-124)
             for f in srl_frames:
-                emit("N", doc_id, span_idx, toks, tags, f)
+                emit("N", doc_id, span_idx, toks, tags, chks, url, f)
             for f in relnoun_frames:
-                emit("N", doc_id, span_idx, toks, tags, f)
+                emit("N", doc_id, span_idx, toks, tags, chks, url, f)
         return pa.Table.from_pydict(rows, schema=OIE4)
 
 
@@ -194,3 +346,113 @@ def split_kinds(oie4_ds, kind: str):
     assert kind in ("T", "N")
     filtered = oie4_ds.filter(expr=f"kind == '{kind}'")
     return filtered.drop_columns(["kind"])
+
+
+def openie4_keyed_batch(batch: pa.Table) -> pa.Table:
+    """T rows -> keyed extraction rows (M5 for the OpenIE4 path): same
+    schema as the ReVerb extractor's keyed output, so OpenIE4 triples
+    feed the SAME G1 grouper and linker — the reference runs them as
+    peer corpus jobs into one index (``ScoobiOpenIE4.scala:74-147``).
+
+    Key semantics: arg parts key on their token intervals; the rel part
+    keys on the SURFACE rel text.  For Relnoun's synthesized
+    "is <noun> of" the glue words are tagged VBZ/IN so the key stems to
+    "be <noun> of", matching the reference's stemmed relText."""
+    from openie_backend_ray import schema as S
+    from openie_backend_ray.functions.normalize import (
+        index_key_part,
+        key_string,
+    )
+
+    cols = (
+        "doc_id", "span_idx", "tokens", "postags", "chunks",
+        "source_url", "corpus", "confidence", "rel_text",
+    )
+    data = {c: batch[c].to_pylist() for c in cols}
+    a1s = batch["arg1"].to_pylist()
+    rls = batch["rel"].to_pylist()
+    a2ss = batch["arg2s"].to_pylist()
+
+    out: dict[str, list] = {
+        "doc_id": [], "span_idx": [], "tokens": [], "postags": [],
+        "chunks": [], "arg1": [], "rel": [], "arg2": [], "source_url": [],
+        "corpus": [], "confidence": [], "arg1_norm": [], "rel_norm": [],
+        "arg2_norm": [], "key": [],
+    }
+    for i in range(batch.num_rows):
+        toks = data["tokens"][i]
+        tags = data["postags"][i]
+        a1, rl = a1s[i], rls[i]
+        if not a2ss[i]:
+            continue
+        a2 = a2ss[i][0]
+        rs, re_ = rl["start"], rl["end"]
+        synth_toks = ["is"] + toks[rs:re_] + ["of"]
+        if data["rel_text"][i] == " ".join(synth_toks):
+            synth_tags = ["VBZ"] + tags[rs:re_] + ["IN"]
+            reln = index_key_part(
+                synth_toks, synth_tags, 0, len(synth_toks)
+            )
+        else:
+            reln = index_key_part(toks, tags, rs, re_)
+        a1n = index_key_part(toks, tags, a1["start"], a1["end"])
+        a2n = index_key_part(toks, tags, a2["start"], a2["end"])
+        if not (a1n and reln and a2n):
+            continue  # empty key part: dropped like the grouper map side
+        chks = data["chunks"][i] or ["O"] * len(toks)
+        out["doc_id"].append(data["doc_id"][i])
+        out["span_idx"].append(data["span_idx"][i])
+        out["tokens"].append(toks)
+        out["postags"].append(tags)
+        out["chunks"].append(chks)
+        out["arg1"].append(a1)
+        out["rel"].append(rl)
+        out["arg2"].append(a2)
+        out["source_url"].append(data["source_url"][i])
+        out["corpus"].append(data["corpus"][i])
+        out["confidence"].append(data["confidence"][i])
+        out["arg1_norm"].append(a1n)
+        out["rel_norm"].append(reln)
+        out["arg2_norm"].append(a2n)
+        out["key"].append(key_string((a1n, reln, a2n)))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "span_idx": pa.array(out["span_idx"], pa.int32()),
+            "tokens": pa.array(out["tokens"], pa.list_(pa.string())),
+            "postags": pa.array(out["postags"], pa.list_(pa.string())),
+            "chunks": pa.array(out["chunks"], pa.list_(pa.string())),
+            "arg1": pa.array(out["arg1"], S.INTERVAL),
+            "rel": pa.array(out["rel"], S.INTERVAL),
+            "arg2": pa.array(out["arg2"], S.INTERVAL),
+            "source_url": pa.array(out["source_url"], pa.string()),
+            "corpus": pa.array(out["corpus"], pa.string()),
+            "confidence": pa.array(out["confidence"], pa.float64()),
+            "arg1_norm": pa.array(out["arg1_norm"], pa.string()),
+            "rel_norm": pa.array(out["rel_norm"], pa.string()),
+            "arg2_norm": pa.array(out["arg2_norm"], pa.string()),
+            "key": pa.array(out["key"], pa.string()),
+        }
+    )
+
+
+def openie4_triples(chunked_ds, corpus: str = "corpus",
+                    side_tables_ref=None, concurrency=None,
+                    linker_concurrency=None):
+    """Full OpenIE4 corpus path: chunked sentences -> Relnoun/SRL ->
+    T split -> key assignment -> G1 grouper -> (optional) linker —
+    the OpenIE4 twin of the ReVerb flagship pipeline."""
+    from openie_backend_ray.stages.grouper import (
+        finalize_groups,
+        group_extractions,
+    )
+
+    oie4 = extract_openie4(chunked_ds, corpus, concurrency=concurrency)
+    t_rows = oie4.filter(expr="kind == 'T'")
+    keyed = t_rows.map_batches(openie4_keyed_batch, batch_format="pyarrow")
+    blobs = group_extractions(keyed, finalize=False)
+    if side_tables_ref is not None:
+        from openie_backend_ray.stages.linker import link_groups
+
+        return link_groups(blobs, side_tables_ref, linker_concurrency)
+    return blobs.map_batches(finalize_groups, batch_format="pyarrow")

@@ -46,8 +46,56 @@ def test_relnoun_pattern():
     assert len(frames) == 1
     f = frames[0]
     assert TOKS[f.arg1[0]: f.arg1[1]] == ["Ada"]
-    assert TOKS[f.rel[0]: f.rel[1]] == ["the", "mother", "of"]
+    assert TOKS[f.rel[0]: f.rel[1]] == ["mother"]
+    assert f.rel_text == "is mother of"
     assert TOKS[f.arg2s[0][0]: f.arg2s[0][1]] == ["programming"]
+    assert f.confidence == 0.8
+
+
+PATTERN_CASES = [
+    # one sentence per public Relnoun pattern (chunkedextractor
+    # inventory); every one must yield (Barack Obama; is president of;
+    # United States)
+    ("of-comma",
+     ["The", "president", "of", "the", "United", "States", ",",
+      "Barack", "Obama", ",", "spoke", "."],
+     ["DT", "NN", "IN", "DT", "NNP", "NNP", ",", "NNP", "NNP", ",",
+      "VBD", "."]),
+    ("adjective-descriptor",
+     ["United", "States", "president", "Barack", "Obama", "spoke", "."],
+     ["NNP", "NNP", "NN", "NNP", "NNP", "VBD", "."]),
+    ("possessive",
+     ["United", "States", "'s", "president", "Barack", "Obama",
+      "spoke", "."],
+     ["NNP", "NNP", "POS", "NN", "NNP", "NNP", "VBD", "."]),
+    ("possessive-appositive",
+     ["United", "States", "'s", "president", ",", "Barack", "Obama",
+      ",", "spoke", "."],
+     ["NNP", "NNP", "POS", "NN", ",", "NNP", "NNP", ",", "VBD", "."]),
+    ("possessive-is",
+     ["United", "States", "'s", "president", "is", "Barack", "Obama",
+      "."],
+     ["NNP", "NNP", "POS", "NN", "VBZ", "NNP", "NNP", "."]),
+    ("is-possessive",
+     ["Barack", "Obama", "is", "the", "United", "States", "'s",
+      "president", "."],
+     ["NNP", "NNP", "VBZ", "DT", "NNP", "NNP", "POS", "NN", "."]),
+    ("of-is",
+     ["The", "president", "of", "the", "United", "States", "is",
+      "Barack", "Obama", "."],
+     ["DT", "NN", "IN", "DT", "NNP", "NNP", "VBZ", "NNP", "NNP", "."]),
+]
+
+
+@pytest.mark.parametrize("name,toks,tags",
+                         PATTERN_CASES, ids=[c[0] for c in PATTERN_CASES])
+def test_relnoun_pattern_inventory(name, toks, tags):
+    frames = RuleRelnoun().extract(toks, tags)
+    assert len(frames) == 1, name
+    f = frames[0]
+    assert " ".join(toks[f.arg1[0]: f.arg1[1]]) == "Barack Obama"
+    assert f.rel_text == "is president of"
+    assert " ".join(toks[f.arg2s[0][0]: f.arg2s[0][1]]) == "United States"
     assert f.confidence == 0.8
 
 
@@ -75,3 +123,43 @@ def test_split_kinds(ray_session):
     assert len(triples) == 1 and len(nary) == 1
     assert "kind" not in triples.columns
     assert list(nary.iloc[0]["arg2_texts"]) == ["programming"]
+
+
+def test_openie4_triples_grouping(ray_session):
+    """The OpenIE4 T path feeds the SAME G1 grouper: all pattern
+    variants of (Barack Obama; is president of; United States)
+    normalize to one key and merge into ONE group whose size is the
+    pattern count (reference: peer corpus job into one index,
+    ScoobiOpenIE4.scala:74-147)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray.stages.openie4 import openie4_triples
+
+    rows = {
+        "doc_id": [], "span_idx": [], "tokens": [], "postags": [],
+        "chunks": [],
+    }
+    for i, (_, toks, tags) in enumerate(PATTERN_CASES):
+        rows["doc_id"].append(f"d{i}")
+        rows["span_idx"].append(i)
+        rows["tokens"].append(toks)
+        rows["postags"].append(tags)
+        rows["chunks"].append(["O"] * len(toks))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "span_idx": pa.array(rows["span_idx"], pa.int32()),
+            "tokens": pa.array(rows["tokens"], pa.list_(pa.string())),
+            "postags": pa.array(rows["postags"], pa.list_(pa.string())),
+            "chunks": pa.array(rows["chunks"], pa.list_(pa.string())),
+        }
+    )
+    groups = openie4_triples(rd.from_arrow(batch), corpus="cw").to_pandas()
+    assert len(groups) == 1
+    g = groups.iloc[0]
+    assert g["arg1_norm"] == "barack obama"
+    assert g["rel_norm"] == "be president of"
+    assert g["arg2_norm"] == "united states"
+    assert g["size"] == len(PATTERN_CASES)
+    assert g["corpora"] == ["cw"]
