@@ -15,9 +15,10 @@ import functools
 import os
 from dataclasses import dataclass
 
-_RESOURCE = (
-    "/root/reference/models/src/main/resources/edu/knowitall/openie/"
-    "models/nelltypes-to-fbtypes.txt"
+# vendored copy of the reference's public resource — the package works
+# without a reference checkout
+_RESOURCE = os.path.join(
+    os.path.dirname(__file__), "data", "nelltypes-to-fbtypes.txt"
 )
 
 
@@ -39,6 +40,13 @@ def parse_fb_type(s: str) -> str | None:
 def fb_to_nell(path: str = _RESOURCE) -> dict[str, NellType]:
     out: dict[str, NellType] = {}
     if not os.path.exists(path):
+        # an explicitly-given path must exist; only the bundled default
+        # may be absent (e.g. a stripped install), and loudly
+        if path != _RESOURCE:
+            raise FileNotFoundError(path)
+        import warnings
+
+        warnings.warn(f"NELL resource missing: {path}; typing is a no-op")
         return out
     with open(path, encoding="utf-8") as f:
         for line in f:

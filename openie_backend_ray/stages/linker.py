@@ -76,6 +76,16 @@ class LinkerActor:
                 fi["inlinks"].to_pylist(),
             )
         }
+        # string-match fallback indexes (StringMatchCandidateFinder):
+        # lowercased title -> fbid, and title token -> sorted fbids
+        self.title_map: dict[str, str] = {}
+        self.token_index: dict[str, list[str]] = {}
+        tok_sets: dict[str, set] = {}
+        for f, (t, _i) in self.fbid_info.items():
+            self.title_map.setdefault(t.lower(), f)
+            for w in t.lower().split():
+                tok_sets.setdefault(w, set()).add(f)
+        self.token_index = {w: sorted(s) for w, s in tok_sets.items()}
         ft = tables["fbid_types"]
         self.fbid_types = {
             f: t
@@ -123,10 +133,75 @@ class LinkerActor:
                 dot += w * w2
         return dot / (qnorm * norm)
 
+    # -- string-match candidate fallback ----------------------------------
+    def _match_level(self, title: str, arg: str) -> int:
+        """StringMatchCandidateFinder.java:21-43: 5 = exact
+        (case-insensitive), else max(1, 4 - wordDiff)."""
+        if arg.lower() == title.lower():
+            return 5
+        return max(1, 4 - (len(title.split()) - len(arg.split())))
+
+    def _string_match(self, phrase: str):
+        """No-crosswikis-hit fallback (StringMatchCandidateFinder port):
+        exact title match, leading-"the" strip retry, then
+        token-intersection candidates (title words are a superset of the
+        arg words), <= 5 senses.  Returns crosswikis-shaped candidate
+        tuples with the match level / 5 as the prior."""
+        arg = phrase.strip()
+        if not arg:
+            return []
+        out, seen = [], set()
+
+        def add(fbid: str, arg_s: str):
+            info = self.fbid_info.get(fbid)
+            if info is None or fbid in seen:
+                return
+            seen.add(fbid)
+            out.append(
+                (fbid, info[0], self._match_level(info[0], arg_s) / 5.0, 0)
+            )
+
+        fbid = self.title_map.get(arg.lower())
+        if fbid is not None:
+            add(fbid, arg)
+        stripped = arg
+        words = arg.split()
+        if words and words[0].lower() == "the":
+            stripped = arg[4:] if len(arg) >= 4 else ""
+            if fbid is None and stripped:
+                f2 = self.title_map.get(stripped.lower())
+                if f2 is not None:
+                    add(f2, stripped)
+        # token-intersection: every arg token (len > 2) must hit the
+        # title-token index; candidates present in ALL hit lists
+        comps = [c for c in re.split(r"[,\s]+", stripped) if c]
+        lists = []
+        for comp in comps:
+            hit = self.token_index.get(comp.lower())
+            if hit is None:
+                if len(comp) > 2:
+                    return out  # fail: unknown content word (:134-139)
+                continue  # short tokens may be skipped
+            lists.append(hit)
+        if lists:
+            inter = set(lists[0])
+            for li in lists[1:]:
+                inter &= set(li)
+            for cand in sorted(inter):  # deterministic sense order
+                if len(seen) >= 5:
+                    break
+                add(cand, arg)
+        return out
+
     def _link(self, toks: list[str], tags: list[str],
               query_vec: dict[str, float], qnorm: float):
         hp = head_phrase(toks, tags, self.has_candidates)
         cands = self.candidates.get(lnrm(hp))
+        if not cands:
+            # crosswikis miss -> string-match fallback on the raw arg
+            # phrase (the reference tries finders in order,
+            # EntityLinker.scala getBestFbidFromSources)
+            cands = self._string_match(" ".join(toks))
         if not cands:
             return None, []
         best = None

@@ -97,3 +97,73 @@ def test_types_attached(linked):
         or (row.arg2_entity is not None and len(row.arg2_types) > 0)
     )
     assert n_typed > 100
+
+
+def _tables_no_crosswikis():
+    import pyarrow as pa
+
+    return {
+        "crosswikis": pa.table(
+            {"anchor": pa.array([], pa.string()),
+             "fbid": pa.array([], pa.string()),
+             "title": pa.array([], pa.string()),
+             "cprob": pa.array([], pa.float64()),
+             "count": pa.array([], pa.int64())}
+        ),
+        "fbid_title_inlinks": pa.table(
+            {"fbid": ["f1", "f2", "f3"],
+             "title": ["Nikola Tesla", "United States", "Tesla Motors"],
+             "inlinks": pa.array([900.0, 5000.0, 400.0], pa.float64())}
+        ),
+        "fbid_types": pa.table(
+            {"fbid": ["f1"], "types": [["/people/person"]]}
+        ),
+        "entity_context": pa.table(
+            {"fbid": ["f1", "f2", "f3"],
+             "context_text": ["tesla inventor electricity",
+                              "america country united states",
+                              "tesla car company motors"]}
+        ),
+    }
+
+
+def test_string_match_fallback_links_without_crosswikis():
+    """StringMatchCandidateFinder port (J3 fallback): with NO crosswikis
+    hit, an obvious title still links — exact match (level 5), leading
+    "the" strip, and token-intersection (title ⊇ arg words)."""
+    from openie_backend_ray.stages.linker import LinkerActor
+
+    actor = LinkerActor(tables=_tables_no_crosswikis())
+
+    # exact title match
+    cands = actor._string_match("Nikola Tesla")
+    assert cands and cands[0][0] == "f1" and cands[0][2] == 1.0  # 5/5
+
+    # leading-"the" strip retry
+    cands = actor._string_match("the United States")
+    assert cands and cands[0][0] == "f2"
+
+    # token-intersection: arg "Tesla" is a word of two titles ->
+    # both candidates, deterministic order
+    cands = actor._string_match("Tesla")
+    assert [c[0] for c in cands] == ["f1", "f3"]
+
+    # unknown content word -> fail (reference :134-139)
+    assert actor._string_match("Tesla zzgrommet") == []
+
+
+def test_string_match_fallback_end_to_end():
+    """A group whose arg has no crosswikis anchor still links via the
+    fallback inside the full _link scoring path."""
+    import math
+
+    from openie_backend_ray.stages.linker import LinkerActor
+
+    actor = LinkerActor(tables=_tables_no_crosswikis())
+    q = {"tesla": 1.0, "inventor": 1.0}
+    qn = math.sqrt(2.0)
+    ent, types = actor._link(
+        ["Nikola", "Tesla"], ["NNP", "NNP"], q, qn
+    )
+    assert ent is not None and ent["fbid"] == "f1"
+    assert types == ["/people/person"]
