@@ -7,9 +7,14 @@ expressed scale-first:
   partial row per key in ``map_batches`` BEFORE the groupby, so the
   shuffle moves per-key partials, not raw rows (the combiner the
   reference gets from Hadoop; ``ScoobiReVerbGrouper.scala:63-130``).
+- **zero-copy partials**: the per-batch fold is ``pyarrow``
+  ``Table.group_by`` / compute kernels end to end — no pandas
+  conversion per batch (profiled: the Arrow->pandas->Arrow round trip
+  dominated these stages at sf0.1).
 - **broadcast join**: the small side (customer, part) is ``ray.put``
-  once and probed per batch — no all-to-all exchange (J2's relInfo
-  attach, ``UnlinkableEntityTyper.scala:195``).
+  once and probed per batch with a vectorized ``searchsorted`` — no
+  all-to-all exchange (J2's relInfo attach,
+  ``UnlinkableEntityTyper.scala:195``).
 - **money as integer cents**: double sums are order-dependent; casting
   to int64 cents before summing makes the distributed sum exact and
   byte-identical to the DuckDB oracle.
@@ -23,14 +28,24 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _cents(x: np.ndarray) -> np.ndarray:
-    # numpy rint == round-half-even; generated prices never land on
-    # exact .5 mills, so this matches DuckDB round() in practice
-    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+def _cents(col: pa.ChunkedArray | pa.Array, scale: float = 100.0):
+    # pc.round default is half-to-even (== numpy rint); generated
+    # prices never land on exact .5 mills, so this matches DuckDB
+    # round() in practice
+    return pc.cast(pc.round(pc.multiply(col, scale)), pa.int64())
+
+
+def _agg(table: pa.Table, keys: list[str], aggs: list[tuple],
+         names: list[str]) -> pa.Table:
+    """``Table.group_by(...).aggregate(...)`` with output renames."""
+    out = table.group_by(keys, use_threads=False).aggregate(aggs)
+    return out.select(
+        keys + [f"{c}_{f}" for c, f in aggs]
+    ).rename_columns(keys + names)
 
 
 # ---------------------------------------------------------------------------
@@ -38,16 +53,20 @@ def _cents(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _pricing_partial(batch: pa.Table) -> pa.Table:
-    df = batch.select(
-        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
-    ).to_pandas()
-    df["price_cents"] = _cents(df.pop("l_extendedprice").to_numpy())
-    g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-        sum_qty=("l_quantity", "sum"),
-        sum_price_cents=("price_cents", "sum"),
-        row_count=("l_quantity", "size"),
-    ).reset_index()
-    return pa.Table.from_pandas(g, preserve_index=False)
+    t = pa.table(
+        {
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "l_quantity": batch["l_quantity"],
+            "price_cents": _cents(batch["l_extendedprice"]),
+        }
+    )
+    return _agg(
+        t, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("price_cents", "sum"),
+         ("price_cents", "count")],
+        ["sum_qty", "sum_price_cents", "row_count"],
+    )
 
 
 def pricing_summary(lineitem_ds):
@@ -77,25 +96,38 @@ def pricing_summary(lineitem_ds):
 # ---------------------------------------------------------------------------
 
 class SegmentRevenue:
-    """Per-batch probe of the broadcast custkey -> mktsegment dict, with
-    a batch-local partial aggregate on the way out."""
+    """Per-batch probe of the broadcast custkey -> mktsegment mapping
+    (sorted arrays + ``np.searchsorted``, fully vectorized), with a
+    batch-local partial aggregate on the way out."""
 
     def __init__(self, cust_ref=None, cust: dict | None = None):
         if cust is None and cust_ref is not None:
             import ray
 
             cust = ray.get(cust_ref)
-        self.seg = cust
+        keys = np.fromiter(cust.keys(), dtype=np.int64, count=len(cust))
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.segs = np.array(list(cust.values()), dtype=object)[order]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
-        df["c_mktsegment"] = df.pop("o_custkey").map(self.seg)
-        df["price_cents"] = _cents(df.pop("o_totalprice").to_numpy())
-        g = df.groupby("c_mktsegment", sort=False).agg(
-            total_price_cents=("price_cents", "sum"),
-            n_orders=("price_cents", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.keys, ck)
+        # orders always reference existing customers in the generated
+        # data; clip guards a dangling key from indexing out of range
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        segs = self.segs[idx]
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+        return _agg(
+            t, ["c_mktsegment"],
+            [("price_cents", "sum"), ("price_cents", "count")],
+            ["total_price_cents", "n_orders"],
+        )
 
 
 def segment_revenue(orders_ds, cust_ref):
@@ -134,17 +166,16 @@ def customer_segment_map(customer_table: pa.Table) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# top-k: partial agg -> small groupby -> sort.limit
+# top-k: partial agg -> small groupby -> per-block top-k -> tiny sort
 # ---------------------------------------------------------------------------
 
 def top_parts_by_quantity(lineitem_ds, k: int = 10):
     """Top-k partkeys by total quantity; ties break on l_partkey asc."""
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["l_partkey", "l_quantity"]).to_pandas()
-        g = df.groupby("l_partkey", sort=False).agg(
-            total_qty=("l_quantity", "sum")
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _agg(
+            batch.select(["l_partkey", "l_quantity"]),
+            ["l_partkey"], [("l_quantity", "sum")], ["total_qty"],
+        )
 
     agg = (
         lineitem_ds.map_batches(partial, batch_format="pyarrow",
@@ -152,15 +183,21 @@ def top_parts_by_quantity(lineitem_ds, k: int = 10):
         .groupby("l_partkey")
         .sum("total_qty")
     )
-    # deterministic ties: sort on (qty desc, partkey asc)
-    return (
-        agg.map_batches(
-            lambda b: pa.table(
-                {"l_partkey": b["l_partkey"],
-                 "total_qty": b["sum(total_qty)"]}
-            ),
-            batch_format="pyarrow",
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        """Per-block top-k over the aggregated rows: the final global
+        sort then sees k x blocks rows, not every part key."""
+        t = pa.table(
+            {"l_partkey": b["l_partkey"], "total_qty": b["sum(total_qty)"]}
         )
+        idx = pc.sort_indices(
+            t, sort_keys=[("total_qty", "descending"),
+                          ("l_partkey", "ascending")]
+        )
+        return t.take(idx.slice(0, k))
+
+    return (
+        agg.map_batches(local_topk, batch_format="pyarrow")
         .sort(["total_qty", "l_partkey"], descending=[True, False])
         .limit(k)
     )
@@ -174,17 +211,18 @@ def events_daily(events_ds):
     """Per (user_id, day) tumbling-window aggregate: event count + sum of
     ``value`` in micro-units (int64, exact)."""
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["user_id", "ts", "value"]).to_pandas()
-        # us precision to match the parquet/DuckDB timestamp unit
-        df["day"] = df.pop("ts").dt.floor("D").astype("datetime64[us]")
-        df["value_micros"] = np.rint(
-            df.pop("value").to_numpy() * 1_000_000
-        ).astype(np.int64)
-        g = df.groupby(["user_id", "day"], sort=False).agg(
-            n_events=("value_micros", "size"),
-            sum_value_micros=("value_micros", "sum"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+                "value_micros": _cents(batch["value"], 1_000_000.0),
+            }
+        )
+        return _agg(
+            t, ["user_id", "day"],
+            [("value_micros", "count"), ("value_micros", "sum")],
+            ["n_events", "sum_value_micros"],
+        )
 
     final = (
         events_ds.map_batches(partial, batch_format="pyarrow",
@@ -206,7 +244,7 @@ def events_daily(events_ds):
 
 
 # ---------------------------------------------------------------------------
-# M14: deterministic hash sample
+# M14: deterministic hash sample (+ the plain Bernoulli FileSampler)
 # ---------------------------------------------------------------------------
 
 def hash_sample(ds, key: str = "doc_id", fraction_hex: str = "4"):
@@ -222,3 +260,11 @@ def hash_sample(ds, key: str = "doc_id", fraction_hex: str = "4"):
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def bernoulli_sample(ds, fraction: float, seed: int | None = None):
+    """Plain Bernoulli sampler (``FileSampler.scala:52-54``:
+    ``Random.nextDouble < f`` per row) — Ray's native random_sample.
+    Non-deterministic across runs unless ``seed`` is given; use
+    ``hash_sample`` when reproducibility across engines matters."""
+    return ds.random_sample(fraction, seed=seed)

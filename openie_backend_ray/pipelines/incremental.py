@@ -13,9 +13,14 @@ shuffle-merge over the partitioned triples table:
 2. run the NORMAL flagship stages over the delta documents only;
 3. **merge** (G11): union(existing groups, delta groups) ->
    ``regroup`` (G2's key + merge) -> rewrite the triples partitions.
-   The reference's "relink when size in a sweet spot" heuristic is
-   re-expressed as: groups whose size changed re-enter the linker in
-   the next run (lineage manifest records sizes).
+4. **relink** (IndexModifier.scala:89-97): merged groups the delta
+   actually touched re-enter the linker iff their new size is in the
+   reference's sweet spot ``size > 1 && (size < 5 || size % 2 == 0)``
+   — small-but-not-singleton groups, plus even-sized ones as they
+   grow; untouched groups keep their existing links.  The touched-key
+   set is the DELTA's key set (bounded by the ingest batch, not the
+   corpus), broadcast into a tag pass; the relink keys are returned so
+   the caller records them in the shard's lineage manifest.
 """
 
 from __future__ import annotations
@@ -52,6 +57,43 @@ def anti_join_new_docs(docs_ds, ingested_ids_ref):
     )
 
 
+def needs_relink(size: int) -> bool:
+    """The reference's relink sweet spot (IndexModifier.scala:89-97)."""
+    return size > 1 and (size < 5 or size % 2 == 0)
+
+
+def _group_key(a1: str, rl: str, a2: str) -> str:
+    return f"{a1}__{rl}__{a2}"
+
+
+def _groups_to_blobs(batch: pa.Table) -> pa.Table:
+    """GROUPS rows -> the grouper's blob representation so they can
+    re-enter the linker actor pool."""
+    import pickle
+
+    from openie_backend_ray.stages.grouper import BLOB_GROUPS
+
+    a1 = batch["arg1_norm"].to_pylist()
+    rl = batch["rel_norm"].to_pylist()
+    a2 = batch["arg2_norm"].to_pylist()
+    insts = batch["instances"].to_pylist()
+    sizes = batch["size"].to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "key": [_group_key(a, r, b) for a, r, b in zip(a1, rl, a2)],
+            "arg1_norm": a1,
+            "rel_norm": rl,
+            "arg2_norm": a2,
+            "instances_blob": [
+                pickle.dumps(x, protocol=4) for x in insts
+            ],
+            "size": sizes,
+            "raw_count": [int(s) for s in sizes],
+        },
+        schema=BLOB_GROUPS,
+    )
+
+
 def incremental_update(
     existing_groups_ds,
     incoming_docs_ds,
@@ -62,9 +104,12 @@ def incremental_update(
 ):
     """existing triples + incoming docs -> merged triples (G11).
 
-    Returns (merged_groups_ds, delta_docs_ds). The caller persists the
-    merged table (checkpoint.run_shard) and appends the delta doc_ids
-    to the lineage table."""
+    Returns (merged_groups_ds, delta_docs_ds, relink_keys). The caller
+    persists the merged table (checkpoint.run_shard), appends the delta
+    doc_ids to the lineage table, and records ``relink_keys`` in the
+    shard manifest."""
+    import ray
+
     from openie_backend_ray.pipelines.flagship import run_flagship
     from openie_backend_ray.stages.postgroup import regroup
 
@@ -74,6 +119,49 @@ def incremental_update(
         lexicon_ref=lexicon_ref,
         side_tables_ref=side_tables_ref,
         corpus=corpus,
-    )
+    ).materialize()
+    delta_keys = {
+        _group_key(r["arg1_norm"], r["rel_norm"], r["arg2_norm"])
+        for r in delta_groups.select_columns(
+            ["arg1_norm", "rel_norm", "arg2_norm"]
+        ).take_all()
+    }
     merged = regroup(existing_groups_ds.union(delta_groups))
-    return merged, delta_docs
+    if side_tables_ref is None:
+        return merged, delta_docs, []
+
+    # tag: relink iff the delta touched the key AND the merged size is
+    # in the sweet spot.  merged is materialized once so the keep /
+    # relink splits don't re-execute the merge (at 100 TB: write the
+    # merged partitions first — checkpoint.run_shard — and read twice).
+    merged = merged.materialize()
+    keys_ref = ray.put(delta_keys)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        a1 = batch["arg1_norm"].to_pylist()
+        rl = batch["rel_norm"].to_pylist()
+        a2 = batch["arg2_norm"].to_pylist()
+        sz = batch["size"].to_pylist()
+        flags = [
+            _group_key(a, r, b) in keys and needs_relink(s)
+            for a, r, b, s in zip(a1, rl, a2, sz)
+        ]
+        return batch.append_column("relink", pa.array(flags, pa.bool_()))
+
+    tagged = merged.map_batches(tag, batch_format="pyarrow")
+    keep = tagged.filter(expr="relink == False").drop_columns(["relink"])
+    relink = tagged.filter(expr="relink == True").drop_columns(["relink"])
+    relink_keys = sorted(
+        _group_key(r["arg1_norm"], r["rel_norm"], r["arg2_norm"])
+        for r in relink.select_columns(
+            ["arg1_norm", "rel_norm", "arg2_norm"]
+        ).take_all()
+    )
+    from openie_backend_ray.stages.linker import link_groups
+
+    relinked = link_groups(
+        relink.map_batches(_groups_to_blobs, batch_format="pyarrow"),
+        side_tables_ref,
+    )
+    return keep.union(relinked), delta_docs, relink_keys

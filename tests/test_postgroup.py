@@ -251,10 +251,67 @@ def test_incremental_delta(ray_session):
     existing = rd.from_arrow(_groups_table(
         [_mk_group("obama", "visit", "paris today", [i1])]
     ))
-    merged, _ = incremental_update(
+    merged, _, relink_keys = incremental_update(
         existing, rd.from_arrow(docs), ingested
     )
+    assert relink_keys == []  # no side tables -> no relink pass
     out = merged.to_pandas()
     # d3's extraction merges into the existing group, d1/d2 skipped
     key = out[(out.arg1_norm == "obama")]
     assert len(key) >= 1
+
+
+def test_incremental_relink_sweet_spot(ray_session):
+    """IndexModifier.scala:89-97: a second delta run relinks EXACTLY the
+    merged groups the delta touched whose new size is in
+    ``size > 1 and (size < 5 or size % 2 == 0)`` — untouched groups and
+    touched-but-out-of-spot sizes keep their old links."""
+    import ray
+    import ray.data as rd
+
+    from openie_backend_ray.fixtures.corpus import build_chunker_lexicon
+    from openie_backend_ray.fixtures.side_tables import build_side_tables
+    from openie_backend_ray.pipelines.incremental import (
+        incremental_update,
+        needs_relink,
+    )
+
+    # the pure heuristic
+    assert [s for s in range(1, 9) if needs_relink(s)] == [2, 3, 4, 6, 8]
+
+    sent = "Obama visited Paris today ."
+    toks = ["Obama", "visited", "Paris", "today", "."]
+    # layers as the pipeline's heuristic tagger will produce them, so
+    # the delta extraction lands on the SAME index key
+    tags = ["NNP", "VBD", "NNPS", "NN", "."]
+    i1 = _mk_inst(toks, tags, (0, 1), (1, 2), (2, 4))
+    # existing: one group the delta will touch (size 1 -> 2: in spot)
+    # and one untouched group
+    existing = rd.from_arrow(_groups_table([
+        _mk_group("obama", "visit", "pari today", [i1]),
+        _mk_group("merkel", "visit", "rome", [
+            _mk_inst(["Merkel", "visited", "Rome", "."],
+                     ["NNP", "VBD", "NNP", "."], (0, 1), (1, 2), (2, 3))
+        ]),
+    ]))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["n1"], pa.string()),
+            "spans": pa.array(
+                [[{"kind": "text", "text": sent,
+                   "media_ref": "", "offset": 0}]],
+                pa.list_(S.SPAN),
+            ),
+        }
+    )
+    merged, _, relink_keys = incremental_update(
+        existing, rd.from_arrow(docs), ray.put(set()),
+        lexicon_ref=ray.put(build_chunker_lexicon()),
+        side_tables_ref=ray.put(build_side_tables()),
+    )
+    out = merged.to_pandas()
+    # exactly the touched sweet-spot group is in the relink set
+    assert any(k.startswith("obama__") for k in relink_keys)
+    assert not any(k.startswith("merkel__") for k in relink_keys)
+    ob = out[out.arg1_norm == "obama"]
+    assert len(ob) == 1 and int(ob.iloc[0]["size"]) >= 2
