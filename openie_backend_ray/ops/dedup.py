@@ -11,8 +11,10 @@ Scale shape (the part that matters at 100 TB):
   (linear in bucket size: no skew cap needed, no pairs silently
   dropped; every duplicate is still tied to its anchor).
 - jaccard verify: runs on the *candidate pairs* (LSH output), never all
-  pairs; per-pair shingle sets are hash-joined from the docs table onto
-  the pair list (two ``Dataset.join``s) — no process holds the corpus.
+  pairs; shingle sets reach the pairs via a union + groupby co-group
+  join on doc_id, with a broadcast candidate-ID semi-join prefilter
+  (ids only — the bloom-pushdown analogue) — no process holds the
+  corpus.
 - embedding near-dup: brute-force cosine per batch against a broadcast
   float64 matrix (numpy matmul), threshold filter; the LSH/IVF path for
   scale lives in ``similarity.py``.
@@ -158,57 +160,126 @@ def doc_shingles_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _score_pairs_batch(batch: pa.Table) -> pa.Table:
-    a = batch["sh_a"].to_pylist()
-    b = batch["sh_b"].to_pylist()
-    jac = []
-    for sa, sb in zip(a, b):
-        sa, sb = set(sa.split(_SH_SEP)), set(sb.split(_SH_SEP))
-        union = len(sa | sb)
-        # raw int/int division: bit-identical to the SQL oracle
-        jac.append(len(sa & sb) / union if union else 0.0)
+# co-group row layout for the pair <- shingles join: doc rows carry
+# shingles + null pair_id, pair-half rows carry pair_id + null shingles
+_JROW = pa.schema(
+    [
+        ("jkey", pa.int64()),      # doc_id
+        ("pair_id", pa.string()),  # "a|b"
+        ("shingles", pa.string()),
+    ]
+)
+
+
+def _tag_pair_halves(b: pa.Table) -> pa.Table:
+    a = b["doc_a"].to_pylist()
+    bb = b["doc_b"].to_pylist()
+    pid = [f"{x}|{y}" for x, y in zip(a, bb)]
     return pa.table(
-        {"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
-         "jaccard": pa.array(jac, pa.float64())}
+        {"jkey": pa.array(a + bb, pa.int64()),
+         "pair_id": pa.array(pid + pid, pa.string()),
+         "shingles": pa.nulls(2 * len(a), pa.string())},
+        schema=_JROW,
+    )
+
+
+def _tag_doc_shingles(b: pa.Table) -> pa.Table:
+    sh = doc_shingles_batch(b)
+    return pa.table(
+        {"jkey": sh["doc_id"],
+         "pair_id": pa.nulls(b.num_rows, pa.string()),
+         "shingles": sh["shingles"]},
+        schema=_JROW,
+    )
+
+
+def _attach_shingles(g: pa.Table) -> pa.Table:
+    shs = g["shingles"].to_pylist()
+    doc_sh = next((s for s in shs if s is not None), None)
+    pids = [p for p in g["pair_id"].to_pylist() if p is not None]
+    if doc_sh is None or not pids:
+        return _JROW.empty_table()
+    return pa.table(
+        {"jkey": pa.array([g["jkey"][0].as_py()] * len(pids), pa.int64()),
+         "pair_id": pa.array(pids, pa.string()),
+         "shingles": pa.array([doc_sh] * len(pids), pa.string())},
+        schema=_JROW,
+    )
+
+
+def _score_pair_group(g: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if g.num_rows != 2:  # a half lost its doc (id absent) — drop pair
+        return empty
+    a_id, b_id = (int(x) for x in g["pair_id"][0].as_py().split("|"))
+    keys = g["jkey"].to_pylist()
+    shs = g["shingles"].to_pylist()
+    sa = set(shs[keys.index(a_id)].split(_SH_SEP))
+    sb = set(shs[keys.index(b_id)].split(_SH_SEP))
+    union = len(sa | sb)
+    # raw int/int division: bit-identical to the SQL oracle
+    jac = len(sa & sb) / union if union else 0.0
+    return pa.table(
+        {"doc_a": pa.array([a_id], pa.int64()),
+         "doc_b": pa.array([b_id], pa.int64()),
+         "jaccard": pa.array([jac], pa.float64())}
     )
 
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.5,
-                        num_partitions: int | None = None):
+                        semijoin_max_ids: int = 5_000_000):
     """Candidate pairs -> exact k-shingle Jaccard >= threshold.
 
-    The shingle sets are HASH-JOINED from the docs table onto the
-    candidate pairs (two ``Dataset.join``s on doc_id) — nothing holds
-    the corpus in one process: the docs side shuffles once by hash of
-    doc_id, and only the candidate pairs (LSH output, tiny relative to
-    the corpus) flow through both joins."""
-    if num_partitions is None:
-        num_partitions = _join_partitions()
-    cands = minhash_pairs(ds)
-    sh = ds.map_batches(doc_shingles_batch, batch_format="pyarrow")
-    j1 = cands.join(
-        sh, "inner", num_partitions, on=("doc_a",), right_on=("doc_id",)
-    ).map_batches(
-        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                            "sh_a": b["shingles"]}),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(
-        sh, "inner", num_partitions, on=("doc_b",), right_on=("doc_id",)
-    ).map_batches(
-        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                            "sh_a": b["sh_a"], "sh_b": b["shingles"]}),
-        batch_format="pyarrow",
-    )
-    scored = j2.map_batches(_score_pairs_batch, batch_format="pyarrow")
-    return scored.filter(expr=f"jaccard >= {threshold}")
+    The verify is a JOIN of the candidate pairs against the docs table
+    on doc_id — a union + groupby(doc_id) co-group (each doc's reducer
+    hands its shingle set to the pair-halves that reference it), then a
+    groupby(pair_id) that scores each pair from its two halves.  No
+    process ever holds the corpus.
 
-
-def _join_partitions() -> int:
+    Semi-join prefilter (the bloom-filter-pushdown analogue): when the
+    candidate ID set is small enough to broadcast (<= semijoin_max_ids
+    — ids only, O(candidates), NOT the corpus), the docs side is
+    filtered to candidate ids before shingling, so the join shuffles
+    only candidate shingles instead of every document's.  Above the
+    cap it falls back to shuffling the full shingle table — same
+    semantics, still never collected in one place."""
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(4, cpus)
+    cands = minhash_pairs(ds).materialize()
+    docs_side = ds
+    if cands.count() <= semijoin_max_ids:
+        ids = set()
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            ids.update(b["doc_a"].to_pylist())
+            ids.update(b["doc_b"].to_pylist())
+        ids_ref = ray.put(ids)
+
+        def keep_cands(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            mask = pa.array(
+                [d in wanted for d in batch["doc_id"].to_pylist()],
+                pa.bool_(),
+            )
+            return batch.filter(mask)
+
+        docs_side = ds.map_batches(keep_cands, batch_format="pyarrow")
+
+    pairs_t = cands.map_batches(_tag_pair_halves, batch_format="pyarrow")
+    docs_t = docs_side.map_batches(_tag_doc_shingles,
+                                   batch_format="pyarrow")
+    joined = (
+        pairs_t.union(docs_t)
+        .groupby("jkey")
+        .map_groups(_attach_shingles, batch_format="pyarrow")
+    )
+    scored = joined.groupby("pair_id").map_groups(
+        _score_pair_group, batch_format="pyarrow"
+    )
+    return scored.filter(expr=f"jaccard >= {threshold}")
 
 
 # ---------------------------------------------------------------------------

@@ -126,3 +126,48 @@ def test_strip_batch_is_noop_for_clean_entities():
     )
     out = strip_stoplisted_entities(tbl, entity_stoplist())
     assert out["arg1_entity"][0].is_valid
+
+
+def test_solr_export_docs(triples_dir, tmp_path, ray_session):
+    """S6: GROUPS rows -> SolrJsonLoader-shaped JSONL docs, batch files
+    replayable against /update/json."""
+    import json
+
+    import ray.data as rd
+
+    from openie_backend_ray.sources.solr_export import (
+        export_solr_jsonl,
+        solr_doc,
+    )
+
+    ds = rd.read_parquet(triples_dir)
+    out_dir = str(tmp_path / "solr")
+    res = export_solr_jsonl(ds, out_dir).take_all()
+    assert sum(r["n_docs"] for r in res) == 5
+    docs = []
+    for r in res:
+        with open(r["path"], encoding="utf-8") as f:
+            docs += [json.loads(line) for line in f if line.strip()]
+    by_arg1 = {d["arg1"]: d for d in docs}
+    a = by_arg1["alpha"]
+    assert a["rel"] == "visit" and a["size"] == 60
+    assert a["corpora"] == ["cw"] * 60
+    # entity fields flattened only when linked; types split full/typ
+    eps = by_arg1["epsilon"]
+    assert "arg1_entity_id" in eps
+    assert eps["arg1_fulltypes"] == ["/people/person"]
+    assert eps["arg1_types"] == ["person"]
+    assert "arg1_entity_id" not in by_arg1["beta"]
+    # provenance blob round-trips
+    import base64
+    import pickle
+
+    insts = pickle.loads(base64.b64decode(a["instances"]))
+    assert len(insts) == 60 and insts[0]["corpus"] == "cw"
+    # ids: deterministic md5 of the triple key (stable across exports)
+    import hashlib
+
+    assert a["id"] == hashlib.md5(b"alpha__visit__paris").hexdigest()
+    # a second export of the same row produces the identical doc
+    row = next(r for r in ds.take_all() if r["arg1_norm"] == "alpha")
+    assert solr_doc(row)["id"] == a["id"]
