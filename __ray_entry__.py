@@ -462,6 +462,38 @@ cand AS (
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+# 64-bit SimHash in SQL: md5 bytes -> +-1 bits weighted by token
+# multiplicity -> sign -> nibble hex (matches ops.dedup.simhash_batch
+# bit-for-bit; validated over the full sf0.001 table)
+_SIMHASH_CTE = r"""
+tok AS (SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents),
+th AS (SELECT doc_id, token, count(*) AS n, md5(token) AS h
+       FROM tok GROUP BY doc_id, token),
+bits AS (
+  SELECT doc_id, b.bit,
+     sum(n * (2 * (((16*(strpos('0123456789abcdef',
+                                substr(h, (b.bit//8)*2+1, 1))-1)
+                     + strpos('0123456789abcdef',
+                              substr(h, (b.bit//8)*2+2, 1))-1)
+                   >> (7 - (b.bit % 8))) & 1) - 1)) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, b.bit),
+nibs AS (SELECT doc_id, bit//4 AS ni,
+                sum(CASE WHEN s > 0 THEN 1<<(3-(bit%4)) ELSE 0 END) AS nv
+         FROM bits GROUP BY doc_id, bit//4),
+sh64 AS (SELECT doc_id,
+                string_agg(substr('0123456789abcdef',
+                                  CAST(nv AS INT)+1, 1), ''
+                           ORDER BY ni) AS simhash,
+                CAST(sum(CASE WHEN nv > 0
+                              THEN CAST(nv AS HUGEINT)
+                                   << ((15 - ni) * 4)
+                              ELSE 0 END) AS UBIGINT) AS v
+         FROM nibs GROUP BY doc_id)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -670,15 +702,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '4'
         """,
-        # lang_id, simhash, simhash_pairs, flagship_triples:
-        # deliberately omitted (non-SQL-expressible: heuristic language
-        # profiles, 64-bit sign accumulation, the KG extraction
-        # pipeline itself) -> driver records the weaker rows-only check
-        # for those.  The post-group KG operators get their oracles
-        # from fixtures/oracles.py over exploded parquet views of the
-        # same golden GROUPS fixture.
+        "simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM sh64
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            blocks AS (
+              SELECT s.doc_id, s.v, b.blk,
+                     substr(s.simhash, b.blk*4+1, 4) AS bval
+              FROM sh64 s CROSS JOIN
+                   (SELECT unnest(range(0, 4)) AS blk) b),
+            anch AS (SELECT blk, bval, min(doc_id) AS anchor
+                     FROM blocks GROUP BY blk, bval),
+            cand AS (
+              SELECT DISTINCT a.anchor AS doc_a, x.doc_id AS doc_b
+              FROM anch a JOIN blocks x
+                ON x.blk = a.blk AND x.bval = a.bval
+               AND x.doc_id != a.anchor)
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sh64 va ON va.doc_id = c.doc_a
+            JOIN sh64 vb ON vb.doc_id = c.doc_b
+            WHERE bit_count(xor(va.v, vb.v)) <= 3
+        """,
+        "lang_id": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents),
+            markers(lang, token) AS (VALUES {_lang_marker_values()}),
+            sc AS (SELECT t.doc_id, m.lang, count(*) AS c
+                   FROM tok t JOIN markers m ON m.token = t.token
+                   GROUP BY t.doc_id, m.lang),
+            best AS (SELECT doc_id, lang,
+                            row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, lang) AS rn
+                     FROM sc)
+            SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        """,
+        # flagship_triples / openie4_triples: deliberately omitted (the
+        # extraction pipelines themselves are not SQL-expressible;
+        # their correctness gates are the pytest P/R fixtures) ->
+        # driver records the weaker rows-only check.  The post-group KG
+        # operators get their oracles from fixtures/oracles.py over
+        # exploded parquet views of the same golden GROUPS fixture.
         **_kg_oracles(),
     }
+
+
+def _lang_marker_values() -> str:
+    from openie_backend_ray.ops.textstats import _LANG_MARKERS
+
+    return ", ".join(
+        f"('{lang}', '{tok}')"
+        for lang in sorted(_LANG_MARKERS)
+        for tok in sorted(_LANG_MARKERS[lang])
+    )
 
 
 def _kg_oracles() -> dict[str, str]:

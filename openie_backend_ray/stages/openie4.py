@@ -86,8 +86,63 @@ class SrlBackend:
             "environment; provide frames via a custom backend"
         )
 
-    def frames(self, tokens, postags):  # pragma: no cover - interface
+    def frames(self, tokens, postags,
+               chunks=None):  # pragma: no cover - interface
         raise NotImplementedError
+
+
+class ChunkSrl:
+    """Dependency-free SRL stand-in over chunk tags: one frame per verb
+    group — arg1 = the NP chunk immediately before the VP, arg2s = the
+    NP chunks (with their PP attachments folded in) between this VP and
+    the next.  Yields the reference's frame SHAPE (multi-arg2 frames
+    for the nary path, ``triplize()`` fan-out for triples) from chunk
+    structure alone; the real ClearSRL model is the ``SrlBackend``
+    hook.  Deterministic confidence: 0.9 - 0.1 * |arg2s| (clipped at
+    0.5), a structural stand-in for SrlConfidenceFunction."""
+
+    def frames(self, tokens, postags, chunks=None):
+        if not chunks:
+            return []
+        n = len(tokens)
+        # chunk spans: list of (tag, start, end)
+        spans = []
+        for i, c in enumerate(chunks):
+            kind = c.split("-", 1)[-1] if "-" in c else c
+            if c.startswith("B-") or (
+                c != "O" and (i == 0 or chunks[i - 1] == "O")
+            ):
+                spans.append([kind, i, i + 1])
+            elif c.startswith("I-") and spans and spans[-1][0] == kind \
+                    and spans[-1][2] == i:
+                spans[-1][2] = i + 1
+            elif c != "O":
+                spans.append([kind, i, i + 1])
+        out = []
+        for si, (kind, s, e) in enumerate(spans):
+            if kind != "VP":
+                continue
+            # arg1: nearest NP chunk ending at the VP start
+            arg1 = None
+            for pk, ps, pe in reversed(spans[:si]):
+                if pk == "NP":
+                    arg1 = (ps, pe)
+                    break
+                if pk == "VP":
+                    break
+            if arg1 is None:
+                continue
+            arg2s = []
+            for nk, ns, ne in spans[si + 1:]:
+                if nk == "VP":
+                    break
+                if nk == "NP":
+                    arg2s.append((ns, ne))
+            if not arg2s:
+                continue
+            conf = max(0.5, 0.9 - 0.1 * len(arg2s))
+            out.append(Frame(arg1, (s, e), arg2s, conf))
+        return out
 
 
 class Relnoun:
@@ -308,7 +363,9 @@ class OpenIE4Actor:
             if self.srl is not None:
                 try:
                     srl_frames = [
-                        f for f in self.srl.frames(toks, tags) if f.arg2s
+                        f
+                        for f in self.srl.frames(toks, tags, chks)
+                        if f.arg2s
                     ]
                 except Exception:
                     srl_frames = []
@@ -328,12 +385,16 @@ class OpenIE4Actor:
         return pa.Table.from_pydict(rows, schema=OIE4)
 
 
-def extract_openie4(chunked_ds, corpus: str = "corpus", concurrency=None):
+def extract_openie4(chunked_ds, corpus: str = "corpus", concurrency=None,
+                    srl_backend=None):
     from openie_backend_ray.util import actor_cpus, auto_pool
 
+    kwargs = {"corpus": corpus}
+    if srl_backend is not None:
+        kwargs["srl_backend"] = srl_backend
     return chunked_ds.map_batches(
         OpenIE4Actor,
-        fn_constructor_kwargs={"corpus": corpus},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         concurrency=concurrency or auto_pool(0.5),
         num_cpus=actor_cpus(),
@@ -438,16 +499,21 @@ def openie4_keyed_batch(batch: pa.Table) -> pa.Table:
 
 def openie4_triples(chunked_ds, corpus: str = "corpus",
                     side_tables_ref=None, concurrency=None,
-                    linker_concurrency=None):
-    """Full OpenIE4 corpus path: chunked sentences -> Relnoun/SRL ->
+                    linker_concurrency=None, srl_backend="chunk"):
+    """Full OpenIE4 corpus path: chunked sentences -> Relnoun + SRL ->
     T split -> key assignment -> G1 grouper -> (optional) linker —
-    the OpenIE4 twin of the ReVerb flagship pipeline."""
+    the OpenIE4 twin of the ReVerb flagship pipeline.  ``srl_backend``
+    defaults to the chunk-based stand-in (the reference always runs
+    SRL); pass None to disable or an object for the real model."""
     from openie_backend_ray.stages.grouper import (
         finalize_groups,
         group_extractions,
     )
 
-    oie4 = extract_openie4(chunked_ds, corpus, concurrency=concurrency)
+    if srl_backend == "chunk":
+        srl_backend = ChunkSrl()
+    oie4 = extract_openie4(chunked_ds, corpus, concurrency=concurrency,
+                           srl_backend=srl_backend)
     t_rows = oie4.filter(expr="kind == 'T'")
     keyed = t_rows.map_batches(openie4_keyed_batch, batch_format="pyarrow")
     blobs = group_extractions(keyed, finalize=False)

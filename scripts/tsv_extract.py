@@ -7,10 +7,13 @@ sentences in the chunker's TSV layout (tokens, postags, chunktags,
 url — ``hadoop/.../ScoobiSentenceChunker.scala:35-41``) from stdin and
 writes ReVerbExtraction TSV rows (7-col reference format) to stdout,
 running the extraction through a real (local-mode) Ray pipeline via
-``ray.data.from_items``.
+``ray.data.from_items``.  With ``--openie4`` it runs the OpenIE4 path
+instead and emits the reference's prefixed dump lines
+("T\t<12-col TripleExtraction>" / "N\t<12-col NaryExtraction>",
+``ScoobiOpenIE4.scala:140-143``).
 
     printf 'Mozart was born .\tNNP VBD VBN .\tB-NP B-VP I-VP O\tu\n' \
-        | python scripts/tsv_extract.py
+        | python scripts/tsv_extract.py [--openie4]
 """
 
 from __future__ import annotations
@@ -51,6 +54,18 @@ def main() -> int:
              "postags": tags, "chunks": chks, "source_url": url}
         )
     if not items:
+        return 0
+    if "--openie4" in sys.argv:
+        from openie_backend_ray.fixtures.oie4_tsv import oie4_row_to_line
+        from openie_backend_ray.stages.openie4 import OpenIE4Actor
+
+        out = ray.data.from_items(items).map_batches(
+            OpenIE4Actor, fn_constructor_kwargs={"corpus": "stdin"},
+            batch_format="pyarrow", concurrency=(1, 1),
+        )
+        for row in out.take_all():
+            sys.stdout.write(oie4_row_to_line(row) + "\n")
+        ray.shutdown()
         return 0
     ds = ray.data.from_items(items).map_batches(
         extract_batch, batch_format="pyarrow"

@@ -163,3 +163,57 @@ def test_openie4_triples_grouping(ray_session):
     assert g["arg2_norm"] == "united states"
     assert g["size"] == len(PATTERN_CASES)
     assert g["corpora"] == ["cw"]
+
+
+def test_chunk_srl_frames_and_triplize():
+    """ChunkSrl (the dependency-free SRL stand-in): one multi-arg2
+    frame per verb group from chunk structure; triplize fans out one
+    triple per arg2 (the reference's flatMap(_.triplize()))."""
+    from openie_backend_ray.stages.openie4 import ChunkSrl
+
+    toks = ["Obama", "gave", "Mary", "a", "book", "in", "Paris", "."]
+    tags = ["NNP", "VBD", "NNP", "DT", "NN", "IN", "NNP", "."]
+    chks = ["B-NP", "B-VP", "B-NP", "B-NP", "I-NP", "B-PP", "B-NP", "O"]
+    frames = ChunkSrl().frames(toks, tags, chks)
+    assert len(frames) == 1
+    f = frames[0]
+    assert toks[f.arg1[0]: f.arg1[1]] == ["Obama"]
+    assert toks[f.rel[0]: f.rel[1]] == ["gave"]
+    assert [
+        " ".join(toks[s:e]) for s, e in f.arg2s
+    ] == ["Mary", "a book", "Paris"]
+    assert f.confidence == 0.6
+    triples = f.triplize()
+    assert [t.arg2s[0] for t in triples] == f.arg2s
+
+    # no chunks / no NP before the verb -> no frames
+    assert ChunkSrl().frames(toks, tags, None) == []
+    assert ChunkSrl().frames(
+        ["Ran", "."], ["VBD", "."], ["B-VP", "O"]) == []
+
+
+def test_actor_with_chunk_srl_emits_nary(ray_session):
+    """The OIE4 actor + ChunkSrl emits N rows with multi-arg2 frames
+    and T rows per triplized arg2."""
+    import pyarrow as pa
+
+    from openie_backend_ray.stages.openie4 import ChunkSrl, OpenIE4Actor
+
+    toks = ["Obama", "gave", "Mary", "a", "book", "."]
+    tags = ["NNP", "VBD", "NNP", "DT", "NN", "."]
+    chks = ["B-NP", "B-VP", "B-NP", "B-NP", "I-NP", "O"]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1"], pa.string()),
+            "span_idx": pa.array([0], pa.int32()),
+            "tokens": pa.array([toks], pa.list_(pa.string())),
+            "postags": pa.array([tags], pa.list_(pa.string())),
+            "chunks": pa.array([chks], pa.list_(pa.string())),
+        }
+    )
+    out = OpenIE4Actor(corpus="cw", srl_backend=ChunkSrl())(batch)
+    kinds = out["kind"].to_pylist()
+    assert kinds.count("T") == 2  # one per triplized arg2
+    assert kinds.count("N") == 1
+    n_row = out.filter(pa.compute.equal(out["kind"], "N")).to_pylist()[0]
+    assert n_row["arg2_texts"] == ["Mary", "a book"]
