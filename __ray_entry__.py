@@ -183,6 +183,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings"), mat_ref, threshold=0.35
         )
 
+    def q_embedding_pairs_ivf(sf_dir: str):
+        import ray
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        c_ref = ray.put(SIM.centroid_matrix(emb, 16))
+        return SIM.embedding_pairs_ivf(
+            _read(sf_dir, "embeddings"), c_ref, threshold=0.35
+        )
+
     def q_ann_topk(sf_dir: str):
         import ray
         import pyarrow.parquet as pq
@@ -396,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_pairs": q_embedding_pairs,
+        "embedding_pairs_ivf": q_embedding_pairs_ivf,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "pricing_summary": q_pricing_summary,
@@ -619,6 +630,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.e, b.e), 6) AS cosine
             FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+        """,
+        "embedding_pairs_ivf": f"""
+            WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+            c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+            assign AS (
+              SELECT vec_id, e, cid AS bucket FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY round(list_cosine_similarity(v.e, c.ce),
+                                        6) DESC, c.cid) AS rn
+                FROM v CROSS JOIN c) WHERE rn = 1)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+            FROM assign a JOIN assign b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35
         """,
         "ann_topk": f"""

@@ -207,3 +207,43 @@ def ann_ivf(emb_ds, queries_ref, centroids_ref, k: int = 10,
     return scored.groupby("qvec_id").map_groups(
         _final_topk(k), batch_format="pyarrow"
     )
+
+
+def embedding_pairs_ivf(emb_ds, centroids_ref, threshold: float = 0.95):
+    """IVF-bucketed embedding near-dup pairs — the scale path for
+    ``dedup.embedding_pairs``: assign each vector to its nearest
+    centroid, ONE groupby(bucket) shuffle, then exact pairwise cosine
+    within each bucket (vec_a < vec_b, round-6 score >= threshold).
+
+    Candidates are same-bucket only (nprobe=1 semantics), so recall<1
+    vs the exact broadcast baseline by design — the LSH-band analogue
+    for dense vectors; cost is sum of bucket^2, never corpus^2, and no
+    process holds the full matrix."""
+
+    assigned = emb_ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": centroids_ref},
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _norm_rows(np.array(batch["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        sims = np.round(mat @ mat.T, 6)
+        iu = np.triu_indices(len(ids), 1)
+        keep = sims[iu] >= threshold
+        a = ids[iu[0][keep]]
+        b = ids[iu[1][keep]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table(
+            {"vec_a": pa.array(lo, pa.int64()),
+             "vec_b": pa.array(hi, pa.int64()),
+             "cosine": pa.array(sims[iu][keep], pa.float64())}
+        )
+
+    return assigned.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
