@@ -246,6 +246,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_media_features(sf_dir: str):
         return MM.media_features(_interleaved_docs(sf_dir))
 
+    def q_media_frames(_sf_dir: str):
+        """Frame sampling runs over the fixture corpus — the sf flat
+        table synthesizes only image spans (rows-only check; the frame
+        count derivation is unit-tested against the sha256 stream)."""
+        from openie_backend_ray.fixtures.corpus import documents_dataset
+
+        return MM.media_frames(documents_dataset(n_blocks=8), every=2)
+
     # -- post-group KG operators over the golden fixture groups table
     # (rows-only checks: the GROUPS input is not a SQL view) ---------
     def _fixture_groups_ds(_sf_dir: str):
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "extreme_filter": q_extreme_filter,
         "head_phrases": q_head_phrases,
         "answer_projections": q_answer_projections,

@@ -130,3 +130,82 @@ def media_features(docs_ds, decoder_cls=FakeDecoder, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency or auto_pool(0.5),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages (same actor-pool plumbing contract)
+# ---------------------------------------------------------------------------
+
+def resize_features(features_ds, out_dim: int = 4):
+    """Feature resize/pool stage: FEATURE_DIM -> out_dim by block mean
+    (the downsample-resize analogue; fully vectorized numpy per batch).
+    In production this is where torchvision/PIL resize would run — the
+    batch/schema plumbing is identical."""
+    assert FEATURE_DIM % out_dim == 0
+    block = FEATURE_DIM // out_dim
+
+    def body(batch: pa.Table) -> pa.Table:
+        feats = np.array(batch["feature"].to_pylist(), dtype=np.float32)
+        pooled = feats.reshape(len(feats), out_dim, block).mean(axis=2)
+        idx = batch.column_names.index("feature")
+        return batch.set_column(
+            idx, "feature",
+            pa.array([f.tolist() for f in pooled], pa.list_(pa.float32())),
+        )
+
+    return features_ds.map_batches(body, batch_format="pyarrow")
+
+
+MEDIA_FRAMES = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("frame_ref", pa.string()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame sampler for video spans: decode the container
+    header (stubbed: frame count = 8 + first payload byte % 9, i.e.
+    8..16 deterministic frames) and emit every ``every``-th frame as a
+    (frame_idx, frame_ref) row.  Real libav frame extraction plugs in
+    via ``decoder_cls`` exactly like MediaFeatureActor."""
+
+    def __init__(self, decoder_cls=FakeDecoder, every: int = 2,
+                 **decoder_kwargs):
+        self.decoder = decoder_cls(**decoder_kwargs)
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {n: [] for n in MEDIA_FRAMES.names}
+        for r in batch.to_pylist():
+            payload = self.decoder.fetch(r["media_ref"])
+            n_frames = 8 + payload[0] % 9
+            for fi in range(0, n_frames, self.every):
+                rows["doc_id"].append(r["doc_id"])
+                rows["span_idx"].append(r["span_idx"])
+                rows["media_ref"].append(r["media_ref"])
+                rows["frame_idx"].append(fi)
+                rows["frame_ref"].append(f"{r['media_ref']}#f{fi}")
+        return pa.Table.from_pydict(rows, schema=MEDIA_FRAMES)
+
+
+def media_frames(docs_ds, decoder_cls=FakeDecoder, every: int = 2,
+                 batch_size: int = 64, concurrency=None):
+    """documents -> sampled frame rows for VIDEO spans (small batches:
+    real video payloads are large; actor pool so codec state loads once
+    per actor)."""
+    from openie_backend_ray.util import auto_pool
+
+    media = docs_ds.map_batches(explode_media_spans, batch_format="pyarrow")
+    video = media.filter(expr="kind == 'video'")
+    return video.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"decoder_cls": decoder_cls, "every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or auto_pool(0.5),
+    )

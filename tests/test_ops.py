@@ -200,3 +200,61 @@ def test_clean_corpus_drops_dups_and_junk(ray_session):
         rd.from_arrow(docs), jaccard_threshold=0.5
     ).to_pandas()
     assert sorted(out.doc_id) == [1, 5]
+
+
+def test_resize_features_block_mean(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray.ops.multimodal import (
+        FEATURE_DIM,
+        MEDIA_FEATURES,
+        resize_features,
+    )
+
+    feat = [i / 16.0 for i in range(FEATURE_DIM)]
+    tbl = pa.table(
+        {"doc_id": ["d"], "span_idx": pa.array([0], pa.int32()),
+         "kind": ["image"], "media_ref": ["media://image/x"],
+         "n_bytes": pa.array([256], pa.int64()),
+         "feature": pa.array([feat], pa.list_(pa.float32()))},
+        schema=MEDIA_FEATURES,
+    )
+    out = resize_features(rd.from_arrow(tbl), out_dim=4).take_all()
+    got = out[0]["feature"]
+    want = np.array(feat, dtype=np.float32).reshape(4, 4).mean(axis=1)
+    assert np.allclose(got, want)
+
+
+def test_media_frames_deterministic(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray import schema as S
+    from openie_backend_ray.ops.multimodal import media_frames
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["d1"], pa.string()),
+            "spans": pa.array(
+                [[
+                    {"kind": "video", "text": "",
+                     "media_ref": "media://video/abc", "offset": 0},
+                    {"kind": "text", "text": "hello world",
+                     "media_ref": "", "offset": 1},
+                ]],
+                pa.list_(S.SPAN),
+            ),
+        }
+    )
+    out = media_frames(rd.from_arrow(docs), every=2).take_all()
+    # frame count is a pure function of the ref's sha256 stream
+    first = hashlib.sha256(b"media://video/abc").digest()[0]
+    n_frames = 8 + first % 9
+    assert [r["frame_idx"] for r in out] == list(range(0, n_frames, 2))
+    assert out[0]["frame_ref"] == "media://video/abc#f0"
+    # text spans don't reach the sampler
+    assert all(r["media_ref"].startswith("media://video/") for r in out)
