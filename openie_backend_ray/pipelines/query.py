@@ -105,12 +105,23 @@ _TIERS_NARROW = [(15, None), (4, 15), (1, 4)]            # >1 clause
 
 def normalize_query_part(text: str, tags: list[str] | None = None) -> str:
     """User text -> normalized clause (same stem+strip as the grouping
-    key; the reference stems query terms with the same TaggedStemmer,
-    ``QuerySpec.scala:81-134``). Without POS tags, nouns are assumed."""
+    key; the reference stems query terms with the same TaggedStemmer
+    after POS-tagging them with its query-side tagger pool,
+    ``QuerySpec.scala:81-134,190-224`` — A7).  Without explicit tags the
+    engine's deterministic heuristic tagger supplies them (the same
+    tagger the chunker falls back to, so query terms normalize exactly
+    like indexed terms outside the golden lexicon)."""
     from openie_backend_ray.functions.normalize import index_key_part
 
     toks = text.split()
-    tags = tags or ["NN"] * len(toks)
+    if tags is None:
+        from openie_backend_ray.stages.chunker import heuristic_layers
+
+        h_toks, h_tags, _ = heuristic_layers(text)
+        if h_toks == toks:
+            tags = h_tags
+        else:  # tokenization disagreement: fall back to noun tags
+            tags = ["NN"] * len(toks)
     return index_key_part(toks, tags, 0, len(toks))
 
 

@@ -171,3 +171,14 @@ def test_solr_export_docs(triples_dir, tmp_path, ray_session):
     # a second export of the same row produces the identical doc
     row = next(r for r in ds.take_all() if r["arg1_norm"] == "alpha")
     assert solr_doc(row)["id"] == a["id"]
+
+
+def test_query_normalization_uses_tagger():
+    """A7: query terms are POS-tagged (heuristic tagger) before
+    stemming, so verbs/plurals normalize like indexed terms."""
+    from openie_backend_ray.pipelines.query import normalize_query_part
+
+    assert normalize_query_part("visited cities") == "visit city"
+    assert normalize_query_part("the presidents") == "president"
+    # explicit tags still win
+    assert normalize_query_part("visited", ["NNP"]) == "visited"
