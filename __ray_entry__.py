@@ -379,6 +379,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_fetch_groups(_sf_dir: str):
+        """S5/J5 serving path end-to-end: materialize the fixture
+        GROUPS to a sorted partitioned triples table, then run the
+        budgeted size-tiered fetch (stoplist on, budgets ample so the
+        status is Success and the result set is every group)."""
+        import os
+
+        import pyarrow as pa
+
+        from openie_backend_ray.pipelines.flagship import (
+            materialize_triples,
+        )
+        from openie_backend_ray.pipelines.query import fetch_groups
+
+        from openie_backend_ray.fixtures.views import views_dir
+
+        out_dir = os.path.join(views_dir(), "triples_store")
+        marker = os.path.join(out_dir, "_DONE")
+        if not os.path.exists(marker):
+            materialize_triples(_fixture_groups_ds(_sf_dir), out_dir)
+            open(marker, "w").close()
+        rs = fetch_groups(out_dir, max_groups=10_000,
+                          max_instances=1_000_000)
+        assert rs.status == "success"
+        return pa.table(
+            {
+                "arg1_norm": pa.array(
+                    [r["arg1_norm"] for r in rs.results], pa.string()),
+                "rel_norm": pa.array(
+                    [r["rel_norm"] for r in rs.results], pa.string()),
+                "arg2_norm": pa.array(
+                    [r["arg2_norm"] for r in rs.results], pa.string()),
+                "size": pa.array(
+                    [r["size"] for r in rs.results], pa.int32()),
+            }
+        )
+
     def q_type_predictions(sf_dir: str):
         from openie_backend_ray.stages.typer import (
             TyperSettings,
@@ -435,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize": q_canonicalize,
         "type_predictions": q_type_predictions,
         "openie4_triples": q_openie4_triples,
+        "fetch_groups": q_fetch_groups,
     }
 
 

@@ -395,6 +395,15 @@ def kg_oracle_sql() -> dict[str, str]:
         FROM preds GROUP BY arg_norm
     """
 
+    # -- S5 serving fetch (full budgets -> Success with every group;
+    # the stoplist strip touches entity columns, not the projection) --
+    sql["fetch_groups"] = f"""
+        WITH {V}
+        SELECT arg1_norm, rel_norm, arg2_norm,
+               CAST(size AS INTEGER) AS size
+        FROM vg
+    """
+
     # -- media features (FakeDecoder: payload = iterated-sha256 stream of
     # the media_ref; feature = first 16 bytes / 256.0 as float32) --------
     hexpos = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
