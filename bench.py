@@ -153,7 +153,8 @@ def run_query_bench(sf_dir: str) -> dict:
     qs = E.queries()
     names = [
         "dedup_exact", "dedup_minhash_pairs", "ngram_jaccard",
-        "simhash_pairs", "embedding_pairs", "ann_topk", "ann_ivf",
+        "simhash_pairs", "embedding_pairs", "embedding_pairs_ivf",
+        "ann_topk", "ann_ivf",
         "token_stats", "quality_score", "lang_id", "fingerprint",
         "pricing_summary", "segment_revenue", "top_parts",
         "events_daily", "media_features", "extreme_filter",
