@@ -54,13 +54,26 @@ def canon_order(t: pa.Table, idxs: list[int] | None = None) -> list[int]:
     rl = t["rel_norm"].to_pylist()
     a2 = t["arg2_norm"].to_pylist()
     insts = t["instances"].to_pylist()
-    return sorted(
-        idxs,
-        key=lambda i: (
+
+    def key(i: int):
+        head = insts[i][0]
+        # primary: the head-instance dedup sig (what the SQL oracles
+        # order by); secondary: a digest over EVERY instance including
+        # the fields the sig excludes (source_url, confidence), so rows
+        # that tie on the sig still order deterministically — gap found
+        # by the hypothesis permutation-invariance property
+        tail = "\x1f".join(
+            "\x1e".join((instance_sig_str(x), x["source_url"],
+                         repr(x["confidence"])))
+            for x in insts[i]
+        )
+        return (
             a1[i], rl[i], a2[i],
-            hashlib.md5(instance_sig_str(insts[i][0]).encode()).hexdigest(),
-        ),
-    )
+            hashlib.md5(instance_sig_str(head).encode()).hexdigest(),
+            hashlib.md5(tail.encode()).hexdigest(),
+        )
+
+    return sorted(idxs, key=key)
 
 
 def _head_frontend_key(insts: list[dict]) -> tuple[str, str, str]:
