@@ -62,8 +62,14 @@ BLOB_GROUPS = pa.schema(
 
 
 def _inst_sort_key(x: dict):
+    # full tiebreak down to corpus/url: instances that tie on every
+    # ranking field must still order deterministically, or which of two
+    # equal-sig duplicates survives dedup would depend on the partition
+    # layout (hypothesis-found class of bug, see canonicalize.canon_order)
     return (-x["confidence"], " ".join(x["tokens"]),
-            x["arg1"]["start"], x["rel"]["start"])
+            x["arg1"]["start"], x["rel"]["start"], x["arg2"]["start"],
+            x["arg1"]["end"], x["rel"]["end"], x["arg2"]["end"],
+            x["corpus"], x["source_url"])
 
 
 def _inst_sig(inst: dict):

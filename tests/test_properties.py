@@ -135,3 +135,78 @@ def test_interval_grammar_round_trip(start, width):
 
     iv = (start, start + width)
     assert parse_interval(serialize_interval(iv)) == iv
+
+
+@st.composite
+def _keyed_insts(draw):
+    """1-8 extraction instances for ONE grouping key, some duplicated
+    (same sig) with different urls/confidences."""
+    n = draw(st.integers(1, 8))
+    insts = []
+    for i in range(n):
+        dup_of = draw(st.one_of(st.none(), st.integers(0, max(0, i - 1))))
+        if dup_of is not None and insts:
+            base = dict(insts[dup_of])
+            base["source_url"] = f"u{i}"
+            base["confidence"] = draw(
+                st.sampled_from([base["confidence"], 0.3, 0.9])
+            )
+            insts.append(base)
+            continue
+        w = draw(_WORD)
+        insts.append(
+            {
+                "tokens": ["X", "met", w, "."],
+                "postags": ["NNP", "VBD", "NN", "."],
+                "chunks": ["B-NP", "B-VP", "B-NP", "O"],
+                "arg1": {"start": 0, "end": 1},
+                "rel": {"start": 1, "end": 2},
+                "arg2": {"start": 2, "end": 3},
+                "source_url": f"u{i}",
+                "corpus": draw(st.sampled_from(["cw", "wiki"])),
+                "confidence": draw(st.sampled_from([0.3, 0.6, 0.9])),
+            }
+        )
+    return insts
+
+
+@settings(max_examples=40, deadline=None)
+@given(_keyed_insts(), st.lists(st.integers(0, 2), min_size=8, max_size=8),
+       st.permutations(range(8)))
+def test_combiner_partition_invariance(insts, parts, perm):
+    """G1 combiner correctness: permuting the input rows AND changing
+    the partition layout (which rows pre-combine together) must yield
+    byte-identical merged blob groups — the property that makes the
+    map-side combiner and the salted two-phase shuffle output-identical
+    to a plain groupByKey."""
+    import pyarrow as pa
+
+    from openie_backend_ray.stages import grouper as G
+
+    rows = [("k", ("x", "meet", "y"), i) for i in insts]
+
+    def run(order, assign):
+        chunks: dict[int, list] = {}
+        for pos, ri in enumerate(order):
+            if ri >= len(rows):
+                continue
+            chunks.setdefault(assign[pos % len(assign)], []).append(
+                rows[ri]
+            )
+        partials = [
+            G.combine_rows(ch) for ch in chunks.values() if ch
+        ]
+        t = pa.concat_tables(partials)
+        return G.merge_blob_groups(t)
+
+    base = run(list(range(len(rows))), [0])          # one partition
+    alt = run(list(perm), parts)                     # shuffled + split
+    assert base.num_rows == alt.num_rows == 1
+    assert base["size"][0].as_py() == alt["size"][0].as_py()
+    # compare unpickled CONTENT (incl. order): raw blob bytes may
+    # differ across merge depths from pickle string-memoization, which
+    # is not semantic
+    import pickle
+
+    assert pickle.loads(base["instances_blob"][0].as_py()) == \
+        pickle.loads(alt["instances_blob"][0].as_py())
