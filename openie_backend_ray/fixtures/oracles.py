@@ -26,7 +26,7 @@ from openie_backend_ray.stages.postgroup import (
     EXTREME_CONF,
     REL_BLACKLIST,
 )
-from openie_backend_ray.stages.postprocess import PRONOUNS
+from openie_backend_ray.stages.postprocess import PRONOUNS, _NEGATIVES
 from openie_backend_ray.stages.typer import ARG_STOPLIST
 
 
@@ -44,6 +44,34 @@ _PRON = _in(PRONOUNS)
 _RELBL = _in(REL_BLACKLIST)
 _ARGBL = _in(ARG_BLACKLIST)
 _TYPER_STOP = _in(ARG_STOPLIST)
+_NEG = _in(_NEGATIVES)
+
+# postprocess._CONTROL as an RE2 class (token/norm control-char clean)
+_CTRL = (
+    r"[\x00-\x1f\x7f-\x9f\x{00ad}\x{200b}-\x{200f}"
+    r"\x{202a}-\x{202e}\x{2060}-\x{2064}\x{feff}\x{fff9}-\x{fffb}]"
+)
+_WS_SET = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def _clean_sql(col: str) -> str:
+    """SQL twin of postprocess._clean_arg: strip -> drop
+    non-(control/visible-ASCII/space) -> collapse whitespace -> drop one
+    leading bad punct -> drop one leading article -> lower."""
+    c1 = f"trim({col}, {_WS_SET})"
+    c2 = (f"regexp_replace({c1}, "
+          r"'[^\x00-\x1f\x21-\x7e ]+', '', 'g')")
+    c3 = (f"trim(regexp_replace({c2}, '[\\s\\x0b]+', ' ', 'g'), "
+          f"{_WS_SET})")
+    c4 = (f"regexp_replace({c3}, "
+          """'^\\s*(\\.|,|"|''|\\()\\s', '')""")
+    c5 = (f"regexp_replace({c4}, "
+          "'^\\s*(the|this|these|those|that|a|an)\\s*', '', 'i')")
+    return f"lower({c5})"
+
+
+_JUNK = "'[a-z0-9 ]+'"  # postprocess._NON_QUESTIONABLE
+_ERRPAT = """'(http|\\(|\\)|"|\\[|thing)'"""  # _LIKELY_ERROR (contains)
 
 # frontend keep rule (normalize._keep_for_frontend)
 _FE_KEEP = (
@@ -393,6 +421,61 @@ def kg_oracle_sql() -> dict[str, str]:
           WHERE rn <= 5)
         SELECT arg_norm, list(typ ORDER BY c DESC, typ) AS types
         FROM preds GROUP BY arg_norm
+    """
+
+    # -- M7/M8/M9 clean + aesthetic instance filter + group filter ----
+    a1c, rlc, a2c = (_clean_sql(c) for c in ("a1t", "rlt", "a2t"))
+    sql["filter_groups"] = f"""
+        WITH {V},
+        tc AS (
+          SELECT gid, inst_idx, pos, in_arg1, in_rel, in_arg2,
+                 regexp_replace(replace(token, chr(9), ' '),
+                                '{_CTRL}', '', 'g') AS tok
+          FROM vt),
+        parts AS (
+          SELECT gid, inst_idx,
+            coalesce(string_agg(tok, ' ' ORDER BY pos)
+              FILTER (WHERE in_arg1), '') AS a1t,
+            coalesce(string_agg(tok, ' ' ORDER BY pos)
+              FILTER (WHERE in_rel), '') AS rlt,
+            coalesce(string_agg(tok, ' ' ORDER BY pos)
+              FILTER (WHERE in_arg2), '') AS a2t,
+            coalesce(bool_or((in_rel OR in_arg2)
+                             AND lower(tok) IN {_NEG}), false) AS has_neg
+          FROM tc GROUP BY gid, inst_idx),
+        ev AS (
+          SELECT p.*, i.confidence,
+                 {a1c} AS a1c, {rlc} AS rlc, {a2c} AS a2c
+          FROM parts p JOIN vi i USING (gid, inst_idx)),
+        pass AS (
+          SELECT gid, inst_idx FROM ev
+          WHERE NOT has_neg
+            AND length(a1t) + length(a2t) + length(rlt) <= 60
+            AND a1c NOT IN {_PRON} AND a2c NOT IN {_PRON}
+            AND confidence >= 0.5
+            AND a1c != '' AND rlc != '' AND a2c != ''
+            AND a1c != a2c
+            AND length(regexp_replace(a1c || rlc || a2c,
+                                      {_JUNK}, '', 'g')) < 5
+            AND length(a1c)
+                - length(regexp_replace(a1c, {_JUNK}, '', 'g')) > 1
+            AND length(rlc)
+                - length(regexp_replace(rlc, {_JUNK}, '', 'g')) > 1
+            AND length(a2c)
+                - length(regexp_replace(a2c, {_JUNK}, '', 'g')) > 1
+            AND NOT regexp_matches(a1c, {_ERRPAT})
+            AND NOT regexp_matches(a2c, {_ERRPAT})),
+        surv AS (SELECT gid, count(*) AS n FROM pass GROUP BY gid
+                 HAVING count(*) >= 2)
+        SELECT g.arg1_norm, g.rel_norm, g.arg2_norm,
+               CAST(s.n AS INTEGER) AS size
+        FROM vg g JOIN surv s USING (gid)
+        WHERE trim(regexp_replace(replace(g.arg1_norm, chr(9), ' '),
+                                  '{_CTRL}', '', 'g'), {_WS_SET}) != ''
+          AND trim(regexp_replace(replace(g.rel_norm, chr(9), ' '),
+                                  '{_CTRL}', '', 'g'), {_WS_SET}) != ''
+          AND trim(regexp_replace(replace(g.arg2_norm, chr(9), ' '),
+                                  '{_CTRL}', '', 'g'), {_WS_SET}) != ''
     """
 
     # -- S5 serving fetch (full budgets -> Success with every group;
