@@ -84,7 +84,8 @@ def _views_cte(d: str) -> str:
     return f"""
 vg AS (SELECT * FROM read_parquet('{d}/groups.parquet')),
 vi AS (SELECT * FROM read_parquet('{d}/instances.parquet')),
-vt AS (SELECT * FROM read_parquet('{d}/tokens.parquet'))"""
+vt AS (SELECT * FROM read_parquet('{d}/tokens.parquet')),
+vm AS (SELECT * FROM read_parquet('{d}/media.parquet'))"""
 
 
 # index grouping key parts per instance (normalize.index_key_part:
@@ -485,6 +486,24 @@ def kg_oracle_sql() -> dict[str, str]:
         SELECT arg1_norm, rel_norm, arg2_norm,
                CAST(size AS INTEGER) AS size
         FROM vg
+    """
+
+    # -- media frame sampling over the fixture corpus's video spans
+    # (frame count = 8 + first sha256 byte % 9, every 2nd frame) ------
+    byte0 = ("16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)"
+             " + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1")
+    sql["media_frames"] = f"""
+        WITH {V},
+        h AS (SELECT doc_id, span_idx, media_ref,
+                     sha256(media_ref) AS hx
+              FROM vm WHERE kind = 'video'),
+        n AS (SELECT doc_id, span_idx, media_ref,
+                     8 + ({byte0}) % 9 AS n_frames
+              FROM h)
+        SELECT doc_id, span_idx, media_ref,
+               CAST(fi AS INTEGER) AS frame_idx,
+               media_ref || '#f' || fi AS frame_ref
+        FROM n, unnest(range(0, n_frames, 2)) AS t(fi)
     """
 
     # -- media features (FakeDecoder: payload = iterated-sha256 stream of

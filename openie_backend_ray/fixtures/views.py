@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 # bump when the view SCHEMA or derivation changes so stale files from a
 # previous code version are never reused
-VIEWS_VERSION = 1
+VIEWS_VERSION = 2
 
 _DEFAULT_DIR = "/tmp/openie_fixture_views"
 
@@ -141,7 +141,31 @@ def build_views() -> dict[str, pa.Table]:
             "in_arg2": pa.array(t_a2, pa.bool_()),
         }
     )
-    return {"groups": groups, "instances": instances, "tokens": tokens}
+    # ---- media spans of the fixture corpus (raw data: the input to
+    # the multimodal stages, exploded like explode_media_spans) -------
+    from openie_backend_ray.fixtures.corpus import build_documents
+
+    docs = build_documents()
+    m_doc, m_idx, m_kind, m_ref = [], [], [], []
+    for did, doc_spans in zip(docs["doc_id"].to_pylist(),
+                              docs["spans"].to_pylist()):
+        for s in doc_spans:
+            if s["kind"] == "text":
+                continue
+            m_doc.append(did)
+            m_idx.append(s["offset"])
+            m_kind.append(s["kind"])
+            m_ref.append(s["media_ref"])
+    media = pa.table(
+        {
+            "doc_id": pa.array(m_doc, pa.string()),
+            "span_idx": pa.array(m_idx, pa.int32()),
+            "kind": pa.array(m_kind, pa.string()),
+            "media_ref": pa.array(m_ref, pa.string()),
+        }
+    )
+    return {"groups": groups, "instances": instances, "tokens": tokens,
+            "media": media}
 
 
 _ensured: str | None = None
@@ -153,7 +177,7 @@ def ensure_views() -> str:
     d = views_dir()
     if _ensured == d:
         return d
-    names = ("groups", "instances", "tokens")
+    names = ("groups", "instances", "tokens", "media")
     if not all(
         os.path.exists(os.path.join(d, f"{n}.parquet")) for n in names
     ):
