@@ -367,25 +367,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             build_chunker_lexicon,
             documents_dataset,
         )
-        from openie_backend_ray.stages.chunker import ChunkerActor
-        from openie_backend_ray.stages.openie4 import openie4_triples
-        from openie_backend_ray.stages.sentences import explode_text_spans
-        from openie_backend_ray.util import auto_pool
+        from openie_backend_ray.stages.openie4 import (
+            openie4_triples_from_documents,
+        )
 
         docs = _interleaved_docs(sf_dir).union(documents_dataset(n_blocks=8))
         lex_ref = ray.put(build_chunker_lexicon())
-        # two actor pools + a shuffle share the cluster: budget the
-        # fracs (0.35 + 0.35) so the G1 sort tasks never starve
-        chunked = docs.map_batches(
-            explode_text_spans, batch_format="pyarrow"
-        ).map_batches(
-            ChunkerActor,
-            fn_constructor_kwargs={"lexicon_ref": lex_ref},
-            batch_format="pyarrow",
-            concurrency=auto_pool(0.35),
-        )
-        groups = openie4_triples(
-            chunked, corpus="cw", concurrency=auto_pool(0.35)
+        groups = openie4_triples_from_documents(
+            docs, lexicon_ref=lex_ref, corpus="cw"
         )
         return groups.map_batches(
             lambda b: pa.table(

@@ -522,3 +522,70 @@ def openie4_triples(chunked_ds, corpus: str = "corpus",
 
         return link_groups(blobs, side_tables_ref, linker_concurrency)
     return blobs.map_batches(finalize_groups, batch_format="pyarrow")
+
+
+class OpenIE4ExtractCombineActor:
+    """Fused map front-end for the OpenIE4 corpus path: documents ->
+    explode -> chunk -> Relnoun/SRL extract -> key -> combine, in ONE
+    actor-pool stage (same rationale as the flagship's
+    ExtractCombineActor: split across 4 Dataset operators, the
+    streaming executor's allocator gives the hot stage ~25% of the
+    cluster).  Chunker lexicon + extractor models load once per actor
+    (A1/A3)."""
+
+    def __init__(self, lexicon_ref=None, lexicon=None,
+                 corpus: str = "corpus", use_chunk_srl: bool = True):
+        from openie_backend_ray.stages.chunker import ChunkerActor
+
+        self.chunker = ChunkerActor(lexicon_ref=lexicon_ref,
+                                    lexicon=lexicon)
+        self.oie4 = OpenIE4Actor(
+            corpus=corpus,
+            srl_backend=ChunkSrl() if use_chunk_srl else None,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from openie_backend_ray.stages.grouper import combine_batch
+        from openie_backend_ray.stages.sentences import explode_text_spans
+
+        sentences = explode_text_spans(batch)
+        chunked = self.chunker(sentences)
+        oie4 = self.oie4(chunked)
+        t_rows = oie4.filter(pc.equal(oie4["kind"], "T"))
+        return combine_batch(openie4_keyed_batch(t_rows))
+
+
+def openie4_triples_from_documents(docs_ds, lexicon_ref=None,
+                                   corpus: str = "corpus",
+                                   side_tables_ref=None,
+                                   concurrency=None,
+                                   linker_concurrency=None):
+    """Interleaved documents -> OpenIE4 triple groups, fused front-end
+    + ONE G1 shuffle (+ optional linker) — the corpus entry point the
+    bench and queries() use; ``openie4_triples`` remains the
+    chunked-sentence entry for pre-chunked inputs."""
+    from openie_backend_ray.stages.grouper import (
+        finalize_groups,
+        merge_blob_groups,
+    )
+    from openie_backend_ray.util import actor_cpus, auto_pool
+
+    partial = docs_ds.map_batches(
+        OpenIE4ExtractCombineActor,
+        fn_constructor_kwargs={"lexicon_ref": lexicon_ref,
+                               "corpus": corpus},
+        batch_format="pyarrow",
+        batch_size=None,  # per input block (combiner width = block)
+        concurrency=concurrency or auto_pool(0.7),
+        num_cpus=actor_cpus(),
+    )
+    blobs = partial.groupby("key").map_groups(
+        merge_blob_groups, batch_format="pyarrow"
+    )
+    if side_tables_ref is not None:
+        from openie_backend_ray.stages.linker import link_groups
+
+        return link_groups(blobs, side_tables_ref, linker_concurrency)
+    return blobs.map_batches(finalize_groups, batch_format="pyarrow")

@@ -217,3 +217,67 @@ def test_actor_with_chunk_srl_emits_nary(ray_session):
     assert kinds.count("N") == 1
     n_row = out.filter(pa.compute.equal(out["kind"], "N")).to_pylist()[0]
     assert n_row["arg2_texts"] == ["Mary", "a book"]
+
+
+def test_fused_openie4_matches_staged(ray_session):
+    """The fused documents->partials actor produces the same groups as
+    the staged chunk->extract path (same invariance the flagship's
+    fused front-end holds)."""
+    import ray
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray import schema as S
+    from openie_backend_ray.fixtures.corpus import build_chunker_lexicon
+    from openie_backend_ray.stages.chunker import ChunkerActor
+    from openie_backend_ray.stages.openie4 import (
+        openie4_triples,
+        openie4_triples_from_documents,
+    )
+    from openie_backend_ray.stages.sentences import explode_text_spans
+
+    sents = [" ".join(c[1]) for c in PATTERN_CASES]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(sents))],
+                               pa.string()),
+            "spans": pa.array(
+                [[{"kind": "text", "text": s, "media_ref": "",
+                   "offset": 0}] for s in sents],
+                pa.list_(S.SPAN),
+            ),
+        }
+    )
+    lex = pa.table(
+        {
+            "sentence": pa.array(sents, pa.string()),
+            "tokens": pa.array([c[1] for c in PATTERN_CASES],
+                               pa.list_(pa.string())),
+            "postags": pa.array([c[2] for c in PATTERN_CASES],
+                                pa.list_(pa.string())),
+            "chunks": pa.array([["O"] * len(c[1]) for c in PATTERN_CASES],
+                               pa.list_(pa.string())),
+        }
+    )
+    lex_ref = ray.put(lex)
+
+    fused = openie4_triples_from_documents(
+        rd.from_arrow(docs), lexicon_ref=lex_ref, corpus="cw"
+    ).to_pandas()
+
+    chunked = rd.from_arrow(docs).map_batches(
+        explode_text_spans, batch_format="pyarrow"
+    ).map_batches(
+        ChunkerActor,
+        fn_constructor_kwargs={"lexicon_ref": lex_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 1),
+    )
+    staged = openie4_triples(chunked, corpus="cw").to_pandas()
+
+    key = ["arg1_norm", "rel_norm", "arg2_norm"]
+    f = fused.sort_values(key).reset_index(drop=True)
+    s = staged.sort_values(key).reset_index(drop=True)
+    assert list(f["arg1_norm"]) == list(s["arg1_norm"])
+    assert list(f["size"]) == list(s["size"])
+    assert len(f) == 1 and int(f.iloc[0]["size"]) == len(PATTERN_CASES)
