@@ -277,6 +277,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_dedup_groups(sf_dir: str):
+        import pyarrow as pa
+
+        from openie_backend_ray.stages.postprocess import (
+            dedup_groups_batch,
+        )
+
+        out = _fixture_groups_ds(sf_dir).map_batches(
+            dedup_groups_batch, batch_format="pyarrow"
+        )
+        return out.map_batches(
+            lambda b: pa.table({"arg1_norm": b["arg1_norm"],
+                                "rel_norm": b["rel_norm"],
+                                "arg2_norm": b["arg2_norm"],
+                                "size": b["size"]}),
+            batch_format="pyarrow",
+        )
+
     def q_filter_groups(sf_dir: str):
         import pyarrow as pa
 
@@ -470,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "extreme_filter": q_extreme_filter,
+        "dedup_groups": q_dedup_groups,
         "filter_groups": q_filter_groups,
         "head_phrases": q_head_phrases,
         "answer_projections": q_answer_projections,

@@ -424,6 +424,72 @@ def kg_oracle_sql() -> dict[str, str]:
         FROM preds GROUP BY arg_norm
     """
 
+    # -- G3 window-token sentence dedup (InstanceDeduplicator) --------
+    # The scan is sequential but its SEEN-state is prefix-determined
+    # (every scanned instance updates the sets whether kept or not), so
+    # it reduces to first-appearance ranks:  a window pair "repeats" if
+    # its (word, pos) first appeared at an earlier rank; an instance
+    # contributes a new word if it owns a (side, word) first appearance.
+    sql["dedup_groups"] = f"""
+        WITH {V},
+        ntok AS (SELECT gid, inst_idx, count(*) AS n
+                 FROM vt GROUP BY gid, inst_idx),
+        ordd AS (
+          SELECT i.gid, i.inst_idx, i.a1s, i.a2e, t.n,
+                 lower(i.sentence) AS sent_lc,
+                 row_number() OVER (PARTITION BY i.gid ORDER BY
+                   i.confidence + CASE WHEN i.corpus = 'wiki'
+                                       THEN 0.1 ELSE 0 END DESC,
+                   i.sentence, i.a1s, i.rs, i.a2s, i.a2e,
+                   i.corpus, i.source_url) AS rk,
+                 (i.a1s = 0 AND i.a2e >= t.n - 2) AS whole
+          FROM vi i JOIN ntok t USING (gid, inst_idx)),
+        wkeep AS (
+          SELECT gid, inst_idx FROM (
+            SELECT gid, inst_idx,
+                   row_number() OVER (PARTITION BY gid, sent_lc
+                                      ORDER BY rk) AS s_rk
+            FROM ordd WHERE whole) WHERE s_rk = 1),
+        wp AS (
+          SELECT o.gid, o.inst_idx, o.rk, lower(t.token) AS w, t.pos,
+                 CASE WHEN t.pos < o.a1s THEN 'b' ELSE 'a' END AS side
+          FROM ordd o JOIN vt t
+            ON t.gid = o.gid AND t.inst_idx = o.inst_idx
+          WHERE NOT o.whole
+            AND ((t.pos >= greatest(0, o.a1s - 3) AND t.pos < o.a1s)
+                 OR (t.pos >= o.a2e + 1
+                     AND t.pos < least(o.n, o.a2e + 1 + 3)))),
+        fa AS (SELECT gid, w, pos, min(rk) AS first_rk
+               FROM wp GROUP BY gid, w, pos),
+        rep AS (
+          SELECT c.gid, c.inst_idx,
+                 count(*) FILTER (WHERE f.first_rk < c.rk) AS repeats
+          FROM wp c JOIN fa f USING (gid, w, pos)
+          GROUP BY c.gid, c.inst_idx),
+        faw AS (SELECT gid, side, w, min(rk) AS first_rk
+                FROM wp GROUP BY gid, side, w),
+        neww AS (
+          SELECT c.gid, c.inst_idx,
+                 bool_or(fw.first_rk = c.rk) AS has_new
+          FROM wp c JOIN faw fw
+            ON fw.gid = c.gid AND fw.side = c.side AND fw.w = c.w
+          GROUP BY c.gid, c.inst_idx),
+        kept AS (
+          SELECT gid, inst_idx FROM wkeep
+          UNION ALL
+          SELECT o.gid, o.inst_idx FROM ordd o
+          LEFT JOIN rep r USING (gid, inst_idx)
+          LEFT JOIN neww nw USING (gid, inst_idx)
+          WHERE NOT o.whole AND coalesce(r.repeats, 0) < 3
+            AND coalesce(nw.has_new, false)),
+        surv AS (SELECT gid, count(*) AS n FROM kept GROUP BY gid),
+        gsz AS (SELECT gid, count(*) AS total FROM vi GROUP BY gid)
+        SELECT g.arg1_norm, g.rel_norm, g.arg2_norm,
+               CAST(CASE WHEN z.total <= 1 THEN z.total
+                         ELSE coalesce(s.n, 0) END AS INTEGER) AS size
+        FROM vg g JOIN gsz z USING (gid) LEFT JOIN surv s USING (gid)
+    """
+
     # -- M7/M8/M9 clean + aesthetic instance filter + group filter ----
     a1c, rlc, a2c = (_clean_sql(c) for c in ("a1t", "rlt", "a2t"))
     sql["filter_groups"] = f"""

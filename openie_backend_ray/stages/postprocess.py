@@ -32,8 +32,16 @@ def dedup_instances(insts: list[dict]) -> list[dict]:
     def hack_conf(i: dict) -> float:
         return -(i["confidence"] + (0.1 if i["corpus"] == "wiki" else 0.0))
 
+    # full tiebreak (spans, corpus, url): the scan is order-sensitive,
+    # so instances tying on (conf, sentence) must still order
+    # deterministically for reruns and the SQL oracle to agree
     ordered = sorted(
-        insts, key=lambda i: (hack_conf(i), " ".join(i["tokens"]))
+        insts,
+        key=lambda i: (
+            hack_conf(i), " ".join(i["tokens"]),
+            i["arg1"]["start"], i["rel"]["start"], i["arg2"]["start"],
+            i["arg2"]["end"], i["corpus"], i["source_url"],
+        ),
     )
     seen_before: set[str] = set()
     seen_after: set[str] = set()
