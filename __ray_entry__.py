@@ -368,10 +368,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         out = canonicalize(_fixture_groups_ds(sf_dir))
         return out.map_batches(
-            lambda b: pa.table({"arg1_norm": b["arg1_norm"],
-                                "rel_norm": b["rel_norm"],
-                                "arg2_norm": b["arg2_norm"],
-                                "size": b["size"]}),
+            lambda b: pa.table(
+                {"arg1_norm": b["arg1_norm"],
+                 "rel_norm": b["rel_norm"],
+                 "arg2_norm": b["arg2_norm"],
+                 "size": b["size"],
+                 "linked": pa.array(
+                     [
+                         (a is not None) or (c is not None)
+                         for a, c in zip(
+                             b["arg1_entity"].to_pylist(),
+                             b["arg2_entity"].to_pylist(),
+                         )
+                     ],
+                     pa.bool_(),
+                 )}
+            ),
             batch_format="pyarrow",
         )
 

@@ -331,7 +331,8 @@ def kg_oracle_sql() -> dict[str, str]:
                CASE WHEN {_SPLIT_OK}
                     THEN string_split(fkey, '__')[3] ELSE r.ra2 END
                  AS arg2_norm,
-               CAST(s.n AS INTEGER) AS size
+               CAST(s.n AS INTEGER) AS size,
+               (c.nlinked = 1) AS linked
         FROM fcnt c JOIN sz_all s USING (fkey)
              JOIN f2rep_all r USING (fkey)
         WHERE c.nlinked <= 1
@@ -342,7 +343,8 @@ def kg_oracle_sql() -> dict[str, str]:
                     THEN string_split(fkey, '__')[2] ELSE r.rrl END,
                CASE WHEN {_SPLIT_OK}
                     THEN string_split(fkey, '__')[3] ELSE r.ra2 END,
-               CAST(s.n AS INTEGER)
+               CAST(s.n AS INTEGER),
+               false
         FROM fcnt c JOIN sz_unl s USING (fkey)
              JOIN f2rep_unl r USING (fkey)
         WHERE c.nlinked >= 2 AND c.nunl > 0
@@ -353,7 +355,8 @@ def kg_oracle_sql() -> dict[str, str]:
                     THEN string_split(fkey, '__')[2] ELSE p.rrl END,
                CASE WHEN {_SPLIT_OK}
                     THEN string_split(fkey, '__')[3] ELSE p.ra2 END,
-               CAST(s.n AS INTEGER)
+               CAST(s.n AS INTEGER),
+               true
         FROM p2 p JOIN fcnt c USING (fkey) JOIN sz_one s USING (ekey)
         WHERE p.linked AND c.nlinked >= 2
     """
