@@ -238,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["user_id", "ts", "value"])
         )
 
+    def q_events_sessions(sf_dir: str):
+        return R.events_sessions(
+            _read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30
+        )
+
     def q_hash_sample(sf_dir: str):
         return R.hash_sample(
             _read(sf_dir, "documents", ["doc_id", "text"]), key="doc_id"
@@ -495,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "top_parts": q_top_parts,
         "events_daily": q_events_daily,
+        "events_sessions": q_events_sessions,
         "hash_sample": q_hash_sample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
@@ -810,6 +816,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
                         AS BIGINT) AS sum_value_micros
             FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "events_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM d)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "hash_sample": """
             SELECT doc_id, text FROM documents

@@ -268,3 +268,58 @@ def bernoulli_sample(ds, fraction: float, seed: int | None = None):
     Non-deterministic across runs unless ``seed`` is given; use
     ``hash_sample`` when reproducibility across engines matters."""
     return ds.random_sample(fraction, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# session windows over the events stream (gap-based sessionization)
+# ---------------------------------------------------------------------------
+
+def events_sessions(events_ds, gap_minutes: int = 30):
+    """Per-user gap-based session windows (the streaming session-window
+    analogue, run as a batch op): events more than ``gap_minutes`` apart
+    start a new session; emits (user_id, session_id, session_start,
+    session_end, n_events).
+
+    Shape: ONE groupby(user_id) shuffle, per-user ordered scan in the
+    reducer (a user's events fit a reducer by assumption — the same
+    per-key contract as the reference's per-group reducers; a hot
+    synthetic user would need the grouper's salting pattern).
+    Session numbering is a pure function of the timestamp multiset, so
+    the result is partition- and tie-order-independent."""
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    def sess(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        ts = np.sort(ts.astype("datetime64[us]"))
+        tsi = ts.astype(np.int64)
+        brk = np.empty(len(tsi), dtype=np.int64)
+        brk[0] = 1
+        if len(tsi) > 1:
+            brk[1:] = (np.diff(tsi) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        n_sessions = int(sid[-1])
+        starts, ends, counts = [], [], []
+        for s in range(1, n_sessions + 1):
+            mask = sid == s
+            starts.append(ts[mask][0])
+            ends.append(ts[mask][-1])
+            counts.append(int(mask.sum()))
+        uid = g["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * n_sessions,
+                                    g["user_id"].type),
+                "session_id": pa.array(range(1, n_sessions + 1),
+                                       pa.int64()),
+                "session_start": pa.array(starts,
+                                          pa.timestamp("us")),
+                "session_end": pa.array(ends, pa.timestamp("us")),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sess, batch_format="pyarrow")
+    )

@@ -258,3 +258,36 @@ def test_media_frames_deterministic(ray_session):
     assert out[0]["frame_ref"] == "media://video/abc#f0"
     # text spans don't reach the sampler
     assert all(r["media_ref"].startswith("media://video/") for r in out)
+
+
+def test_events_sessions_gap_boundaries(ray_session):
+    """Gap-based sessionization: a gap strictly greater than the window
+    starts a new session; exactly-at-gap events stay in the session."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray.ops.relational import events_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = {
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        # u1: t0, +30min (exactly the gap: same session), +61min (new),
+        # +62min (same); u2: single event
+        "ts": pa.array(
+            [t0, t0 + 30 * m, t0 + 61 * m, t0 + 62 * m, t0],
+            pa.timestamp("us"),
+        ),
+    }
+    out = events_sessions(
+        rd.from_arrow(pa.table(rows)), gap_minutes=30
+    ).to_pandas().sort_values(["user_id", "session_id"])
+    u1 = out[out.user_id == 1]
+    assert list(u1["session_id"]) == [1, 2]
+    assert list(u1["n_events"]) == [2, 2]
+    assert u1.iloc[0]["session_end"].to_pydatetime() == t0 + 30 * m
+    assert u1.iloc[1]["session_start"].to_pydatetime() == t0 + 61 * m
+    u2 = out[out.user_id == 2]
+    assert list(u2["n_events"]) == [1]
