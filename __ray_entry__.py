@@ -243,6 +243,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30
         )
 
+    def q_asof_orders(sf_dir: str):
+        return R.asof_latest_order(
+            _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]),
+        )
+
     def q_hash_sample(sf_dir: str):
         return R.hash_sample(
             _read(sf_dir, "documents", ["doc_id", "text"]), key="doc_id"
@@ -501,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": q_top_parts,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
+        "asof_orders": q_asof_orders,
         "hash_sample": q_hash_sample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
@@ -833,6 +841,20 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, session_id
+        """,
+        "asof_orders": """
+            WITH cand AS (
+              SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC,
+                                o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id
+               AND o.o_orderdate <= CAST(e.ts AS DATE))
+            SELECT e.event_id, e.user_id, e.ts, c.o_orderkey,
+                   strftime(c.o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM events e
+            LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
         """,
         "hash_sample": """
             SELECT doc_id, text FROM documents

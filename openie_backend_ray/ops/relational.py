@@ -323,3 +323,121 @@ def events_sessions(events_ds, gap_minutes: int = 30):
         .groupby("user_id")
         .map_groups(sess, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each event matched to the user's latest order at-or-before
+# the event (backward as-of on time within key)
+# ---------------------------------------------------------------------------
+
+_ASOF = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("o_orderkey", pa.int64()),
+        ("o_orderdate", pa.date32()),
+    ]
+)
+
+_DAY_US = 86_400_000_000  # pandas surfaces DATE as midnight timestamps
+
+
+def asof_latest_order(events_ds, orders_ds):
+    """(event_id, user_id, ts, o_orderkey, o_orderdate): left as-of
+    join — per event, the user's order with the greatest
+    (o_orderdate, o_orderkey) whose date is <= the event's date; null
+    when the user has no prior order.
+
+    Shape: tagged union + ONE groupby(key) co-group; the per-key
+    reducer sorts its (small) order side once and answers every event
+    with a vectorized searchsorted — the standard distributed as-of
+    pattern (sort only within key partitions, never globally)."""
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["user_id"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderdate": pa.nulls(b.num_rows, pa.date32()),
+            },
+            schema=_ASOF,
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["o_custkey"], pa.int64()),
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "ts": pa.nulls(b.num_rows, pa.timestamp("us")),
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+            },
+            schema=_ASOF,
+        )
+
+    def reduce_key(g: pa.Table) -> pa.Table:
+        ev_mask = pc.is_valid(g["event_id"])
+        ev = g.filter(ev_mask)
+        if ev.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "o_orderkey": pa.array([], pa.int64()),
+                 "o_orderdate": pa.array([], pa.string())}
+            )
+        orders = g.filter(pc.invert(ev_mask))
+        key = g["key"][0].as_py()
+        ev_ts = ev["ts"].to_numpy(zero_copy_only=False)
+        ev_days = ev_ts.astype("datetime64[D]").astype(np.int64)
+        n_ev = len(ev_days)
+        if orders.num_rows == 0:
+            ok = np.full(n_ev, -1)
+            o_days = np.array([], dtype=np.int64)
+            o_keys = np.array([], dtype=np.int64)
+        else:
+            o_days = orders["o_orderdate"].to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[D]").astype(np.int64)
+            o_keys = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((o_keys, o_days))
+            o_days, o_keys = o_days[order], o_keys[order]
+            # last order with day <= event day; same-day ties resolve
+            # to the max orderkey because of the lexsort
+            ok = np.searchsorted(o_days, ev_days, side="right") - 1
+        matched = ok >= 0
+        if len(o_keys) == 0:
+            out_key = np.zeros(n_ev, dtype=np.int64)
+            out_day = np.zeros(n_ev, dtype=np.int64)
+        else:
+            out_key = np.where(matched, o_keys[np.clip(ok, 0, None)], 0)
+            out_day = np.where(matched, o_days[np.clip(ok, 0, None)], 0)
+        return pa.table(
+            {
+                "event_id": ev["event_id"],
+                "user_id": pa.array([key] * n_ev, pa.int64()),
+                "ts": ev["ts"],
+                "o_orderkey": pa.array(
+                    [int(v) if m else None
+                     for v, m in zip(out_key, matched)], pa.int64()),
+                # emitted as an ISO string: pandas renders DATE /
+                # midnight-timestamp columns at engine-dependent
+                # resolutions, so a plain string is the only
+                # representation both engines hash identically
+                "o_orderdate": pa.array(
+                    [str(np.int64(v).astype("datetime64[D]")) if m
+                     else None
+                     for v, m in zip(out_day, matched)],
+                    pa.string()),
+            }
+        )
+
+    tagged = events_ds.map_batches(
+        tag_events, batch_format="pyarrow"
+    ).union(orders_ds.map_batches(tag_orders, batch_format="pyarrow"))
+    return tagged.groupby("key").map_groups(
+        reduce_key, batch_format="pyarrow"
+    )

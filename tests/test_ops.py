@@ -291,3 +291,51 @@ def test_events_sessions_gap_boundaries(ray_session):
     assert u1.iloc[1]["session_start"].to_pydatetime() == t0 + 61 * m
     u2 = out[out.user_id == 2]
     assert list(u2["n_events"]) == [1]
+
+
+def test_asof_latest_order_semantics(ray_session):
+    """As-of join: latest order at-or-before the event's date; same-day
+    ties resolve to the max orderkey; no prior order -> nulls."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray.ops.relational import asof_latest_order
+
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 3, 10, 5), dt.datetime(2024, 3, 1),
+                 dt.datetime(2024, 3, 10)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+            "o_custkey": pa.array([7, 7, 9], pa.int64()),
+            # two same-day orders for user 7 -> tie resolves to key 101
+            "o_orderdate": pa.array(
+                [dt.date(2024, 3, 5), dt.date(2024, 3, 5),
+                 dt.date(2024, 3, 1)],
+                pa.date32(),
+            ),
+        }
+    )
+    out = asof_latest_order(
+        rd.from_arrow(events), rd.from_arrow(orders)
+    ).to_pandas().set_index("event_id")
+    assert out.loc[1]["o_orderkey"] == 101  # same-day tie -> max key
+    assert out.loc[1]["o_orderdate"] == "2024-03-05"
+    assert pd_isna(out.loc[2]["o_orderkey"])  # event before any order
+    assert pd_isna(out.loc[3]["o_orderkey"])  # user with no orders
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
