@@ -250,6 +250,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   ["o_orderkey", "o_custkey", "o_orderdate"]),
         )
 
+    def q_orders_in_range(sf_dir: str):
+        return R.orders_in_range(
+            _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"]),
+            days=7,
+        )
+
+    def q_kmv_distinct_tokens(sf_dir: str):
+        return TS.kmv_distinct_tokens(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
     def q_hash_sample(sf_dir: str):
         return R.hash_sample(
             _read(sf_dir, "documents", ["doc_id", "text"]), key="doc_id"
@@ -509,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "asof_orders": q_asof_orders,
+        "orders_in_range": q_orders_in_range,
+        "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "hash_sample": q_hash_sample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
@@ -855,6 +870,44 @@ def oracle_sql() -> dict[str, str]:
                    strftime(c.o_orderdate, '%Y-%m-%d') AS o_orderdate
             FROM events e
             LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+        """,
+        "orders_in_range": """
+            WITH cnt AS (
+              SELECT e.event_id, count(*) AS n
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id
+               AND o.o_orderdate <= CAST(e.ts AS DATE)
+               AND o.o_orderdate >= CAST(e.ts AS DATE) - 7
+              GROUP BY e.event_id)
+            SELECT e.event_id, e.user_id,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+            FROM events e LEFT JOIN cnt c USING (event_id)
+        """,
+        # KMV sketch: frac uses the first 13 hex chars (52 bits) so
+        # every term and the sum are exactly representable in float64
+        # on both engines
+        "kmv_distinct_tokens": r"""
+            WITH tok AS (
+              SELECT DISTINCT
+                     unnest(regexp_split_to_array(text, '\s+')) AS t
+              FROM documents),
+            hs AS (SELECT md5(t) AS h FROM tok ORDER BY h LIMIT 64),
+            agg AS (SELECT max(h) AS kth_hash, count(*) AS n_hashes
+                    FROM hs),
+            fr AS (
+              SELECT kth_hash, n_hashes,
+                     (SELECT sum(
+                        (strpos('0123456789abcdef',
+                                substr(a.kth_hash, i.i, 1)) - 1)
+                        * power(16.0, 13 - i.i))
+                      FROM (SELECT unnest(range(1, 14)) AS i) i)
+                     / power(2.0, 52) AS frac
+              FROM agg a)
+            SELECT CASE WHEN n_hashes < 64
+                        THEN CAST(n_hashes AS DOUBLE)
+                        ELSE 63 / frac END AS estimate,
+                   kth_hash, n_hashes
+            FROM fr
         """,
         "hash_sample": """
             SELECT doc_id, text FROM documents

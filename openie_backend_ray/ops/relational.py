@@ -441,3 +441,78 @@ def asof_latest_order(events_ds, orders_ds):
     return tagged.groupby("key").map_groups(
         reduce_key, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# range join: per event, count the user's orders within the trailing
+# N-day window (the interval/range-join shape on the same co-group)
+# ---------------------------------------------------------------------------
+
+def orders_in_range(events_ds, orders_ds, days: int = 7):
+    """(event_id, user_id, n_orders): orders of the event's user with
+    o_orderdate in [event_date - days, event_date] — a banded range
+    join, co-grouped by key with both range bounds answered by one
+    sorted array + two vectorized searchsorteds per key."""
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["user_id"], pa.int64()),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderdate": pa.nulls(b.num_rows, pa.date32()),
+            },
+            schema=_ASOF,
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["o_custkey"], pa.int64()),
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "ts": pa.nulls(b.num_rows, pa.timestamp("us")),
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+            },
+            schema=_ASOF,
+        )
+
+    def reduce_key(g: pa.Table) -> pa.Table:
+        ev_mask = pc.is_valid(g["event_id"])
+        ev = g.filter(ev_mask)
+        if ev.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        orders = g.filter(pc.invert(ev_mask))
+        key = g["key"][0].as_py()
+        ev_days = ev["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        if orders.num_rows == 0:
+            counts = np.zeros(len(ev_days), dtype=np.int64)
+        else:
+            o_days = np.sort(
+                orders["o_orderdate"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(np.int64)
+            )
+            hi = np.searchsorted(o_days, ev_days, side="right")
+            lo = np.searchsorted(o_days, ev_days - days, side="left")
+            counts = hi - lo
+        return pa.table(
+            {
+                "event_id": ev["event_id"],
+                "user_id": pa.array([key] * len(ev_days), pa.int64()),
+                "n_orders": pa.array(counts, pa.int64()),
+            }
+        )
+
+    tagged = events_ds.map_batches(
+        tag_events, batch_format="pyarrow"
+    ).union(orders_ds.map_batches(tag_orders, batch_format="pyarrow"))
+    return tagged.groupby("key").map_groups(
+        reduce_key, batch_format="pyarrow"
+    )
