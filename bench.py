@@ -157,7 +157,9 @@ def run_query_bench(sf_dir: str) -> dict:
         "ann_topk", "ann_ivf",
         "token_stats", "quality_score", "lang_id", "fingerprint",
         "pricing_summary", "segment_revenue", "top_parts",
-        "events_daily", "media_features", "extreme_filter",
+        "events_daily", "events_sessions", "asof_orders",
+        "orders_in_range", "kmv_distinct_tokens",
+        "media_features", "extreme_filter",
         "regroup", "type_predictions", "clean_corpus",
         "openie4_triples",
     ]
