@@ -29,11 +29,15 @@ class ExtractCombineActor(ChunkerActor):
                  corpus: str = "corpus"):
         super().__init__(lexicon_ref=lexicon_ref, lexicon=lexicon)
         self.corpus = corpus
+        # per-actor sentence-level extraction memo (see extract_rows)
+        self._memo: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences = explode_text_spans(batch)
         chunked = super().__call__(sentences)
-        return combine_rows(extract_rows(chunked, corpus=self.corpus))
+        return combine_rows(
+            extract_rows(chunked, corpus=self.corpus, memo=self._memo)
+        )
 
 
 def extract_and_combine(docs_ds, lexicon_ref=None, corpus: str = "corpus",

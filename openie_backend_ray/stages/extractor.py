@@ -85,7 +85,8 @@ def extract_batch(batch: pa.Table, corpus: str = "corpus") -> pa.Table:
     )
 
 
-def extract_rows(batch: pa.Table, corpus: str = "corpus"):
+def extract_rows(batch: pa.Table, corpus: str = "corpus",
+                 memo: dict | None = None, memo_cap: int = 200_000):
     """chunked sentences -> (key, norms, instance-dict) Python rows.
 
     Same semantics as ``extract_batch`` but WITHOUT the Arrow
@@ -107,11 +108,30 @@ def extract_rows(batch: pa.Table, corpus: str = "corpus"):
         toks, tags, chks = toks_col[i], tags_col[i], chks_col[i]
         if not (len(toks) == len(tags) == len(chks)):
             continue
-        for (a1, r, a2) in extract(toks, tags, chks):
-            k = index_key(toks, tags, a1, r, a2)
-            if not (k[0] and k[1] and k[2]):
-                continue
-            conf = confidence.score(toks, tags, a1, r, a2)
+        # sentence-level memo: web corpora are duplication-heavy (the
+        # reason the dedup ops exist), so repeated sentences skip the
+        # extract + key + confidence work entirely.  The cached value
+        # excludes the per-occurrence field (source_url); pure-function
+        # output otherwise.  Epoch eviction: clear when full — O(1)
+        # amortized, bounds actor heap.
+        found = None
+        skey = None
+        if memo is not None:
+            skey = " ".join(toks)
+            found = memo.get(skey)
+        if found is None:
+            found = []
+            for (a1, r, a2) in extract(toks, tags, chks):
+                k = index_key(toks, tags, a1, r, a2)
+                if not (k[0] and k[1] and k[2]):
+                    continue
+                conf = confidence.score(toks, tags, a1, r, a2)
+                found.append((key_string(k), k, a1, r, a2, conf))
+            if memo is not None:
+                if len(memo) >= memo_cap:
+                    memo.clear()
+                memo[skey] = found
+        for (kstr, k, a1, r, a2, conf) in found:
             inst = {
                 "tokens": toks, "postags": tags, "chunks": chks,
                 "arg1": {"start": a1[0], "end": a1[1]},
@@ -120,5 +140,5 @@ def extract_rows(batch: pa.Table, corpus: str = "corpus"):
                 "source_url": src_col[i], "corpus": corpus,
                 "confidence": conf,
             }
-            rows.append((key_string(k), k, inst))
+            rows.append((kstr, k, inst))
     return rows
