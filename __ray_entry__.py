@@ -550,9 +550,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOKS = r"regexp_split_to_array(text, '\s+')"
 
+# dedup-family token source: the shingle separator chr(30) is stripped
+# BEFORE tokenizing (mirrors ops.dedup._dedup_tokens — \x1e is not
+# regex whitespace, so without the strip it would survive inside a
+# token and fragment the packed shingle string)
+_DTOKS = r"regexp_split_to_array(replace(text, chr(30), ''), '\s+')"
+
 # doc -> distinct 3-token shingles (k matches ops.dedup.SHINGLE_K)
 _SHINGLES_CTE = f"""
-t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -577,13 +583,15 @@ bands AS (
            AS bucket
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
 cand AS (
-  -- star pairs: every bucket member pairs with the bucket's min
-  -- doc_id (matches ops.dedup._bucket_pairs: linear in bucket size)
-  SELECT DISTINCT m.anchor AS doc_a, y.doc_id AS doc_b
-  FROM (SELECT band, bucket, min(doc_id) AS anchor
-        FROM bands GROUP BY band, bucket) m
-  JOIN bands y ON y.band = m.band AND y.bucket = m.bucket
-  WHERE y.doc_id != m.anchor)
+  -- chain pairs: each bucket member pairs with its sorted-by-id
+  -- predecessor (matches ops.dedup._bucket_pairs: linear in bucket
+  -- size, near-dup runs stay connected)
+  SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+  FROM (SELECT doc_id,
+               lag(doc_id) OVER (PARTITION BY band, bucket
+                                 ORDER BY doc_id) AS prev
+        FROM bands)
+  WHERE prev IS NOT NULL)
 """
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -727,12 +735,14 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY md5(text)),
             near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM jac),
             stats AS (
+              -- quality gate tokenizes RAW text (textstats semantics),
+              -- unlike the chr(30)-stripped dedup tokens in t
               SELECT doc_id,
-                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                     CAST(len(list_filter(toks,
+                     CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter({_TOKS},
                             x -> list_contains({_STOP_SQL}, x)))
-                          AS DOUBLE) / len(toks) AS stopword_ratio
-              FROM t)
+                          AS DOUBLE) / len({_TOKS}) AS stopword_ratio
+              FROM documents)
             SELECT s.doc_id, s.n_tokens
             FROM stats s
             JOIN exact_keep k ON k.doc_id = s.doc_id
@@ -924,13 +934,14 @@ def oracle_sql() -> dict[str, str]:
                      substr(s.simhash, b.blk*4+1, 4) AS bval
               FROM sh64 s CROSS JOIN
                    (SELECT unnest(range(0, 4)) AS blk) b),
-            anch AS (SELECT blk, bval, min(doc_id) AS anchor
-                     FROM blocks GROUP BY blk, bval),
             cand AS (
-              SELECT DISTINCT a.anchor AS doc_a, x.doc_id AS doc_b
-              FROM anch a JOIN blocks x
-                ON x.blk = a.blk AND x.bval = a.bval
-               AND x.doc_id != a.anchor)
+              -- chain pairs within each (block, value) bucket
+              SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+              FROM (SELECT doc_id,
+                           lag(doc_id) OVER (PARTITION BY blk, bval
+                                             ORDER BY doc_id) AS prev
+                    FROM blocks)
+              WHERE prev IS NOT NULL)
             SELECT c.doc_a, c.doc_b
             FROM cand c
             JOIN sh64 va ON va.doc_id = c.doc_a

@@ -7,9 +7,9 @@ Scale shape (the part that matters at 100 TB):
   16-byte digest (never on the raw text), min-doc_id reducer.
 - minhash: signatures are computed batch-local (shingle -> md5 -> min),
   then (band, bucket) rows shuffle with a groupby — the only all-to-all
-  — and each bucket emits STAR pairs against its min-id representative
-  (linear in bucket size: no skew cap needed, no pairs silently
-  dropped; every duplicate is still tied to its anchor).
+  — and each bucket emits CHAIN pairs (each member vs its sorted-by-id
+  predecessor: linear in bucket size, no skew cap needed, and runs of
+  mutual near-dups stay connected for the drop-doc_b dedup rule).
 - jaccard verify: runs on the *candidate pairs* (LSH output), never all
   pairs; shingle sets reach the pairs via a union + groupby co-group
   join on doc_id, with a broadcast candidate-ID semi-join prefilter
@@ -87,7 +87,7 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
         return pa.table({"band": pa.array([], pa.int32()),
                          "bucket": pa.array([], pa.string()),
                          "doc_id": pa.array([], pa.int64())})
-    toks_col = pc.split_pattern_regex(batch["text"], r"\s+").to_pylist()
+    toks_col = _dedup_tokens(batch["text"])
     doc_ids = batch["doc_id"].to_pylist()
     rows_per_band = NUM_PERM // BANDS
     bands, buckets, ids = [], [], []
@@ -106,14 +106,18 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Star pairs: every bucket member pairs with the bucket's min
-    doc_id (the representative).  Linear in bucket size — a degenerate
-    bucket of N identical docs emits N-1 pairs, not N^2/2, so no skew
-    cap (and no silently dropped duplicates) is needed; dedup semantics
-    are preserved because every member is still tied to the anchor."""
+    """CHAIN pairs: each bucket member pairs with its sorted-by-id
+    predecessor.  Linear in bucket size — a degenerate bucket of N
+    identical docs emits N-1 pairs, not N^2/2, so no skew cap is
+    needed — and unlike star-vs-anchor pairs, a run of mutual
+    near-dups stays CONNECTED (every member is verified against a
+    neighbor, not only against the min-id anchor, so clean_corpus's
+    drop-doc_b rule removes the whole run).  Recall vs full pairwise
+    is still approximate: two near-dups separated in id order by a
+    non-dup bucket member are not emitted — the inherent LSH-candidate
+    trade-off, stated here rather than papered over."""
     ids = sorted(set(group["doc_id"].to_pylist()))
-    anchor = ids[0]
-    return pa.table({"doc_a": pa.array([anchor] * (len(ids) - 1), pa.int64()),
+    return pa.table({"doc_a": pa.array(ids[:-1], pa.int64()),
                      "doc_b": pa.array(ids[1:], pa.int64())})
 
 
@@ -143,16 +147,26 @@ def minhash_pairs(ds):
 
 # Acero (the kernel under Dataset.join) rejects list-typed non-key
 # columns, so the shingle set travels as ONE chr(30)-delimited string
-# per doc and is split back after the join.  chr(30) cannot occur
-# inside a shingle: shingles are whitespace-split tokens re-joined
-# with spaces, and \x1e is not produced by that split.
+# per doc and is split back after the join.  \x1e is NOT regex
+# whitespace (a \s+ split passes it through inside a token), so input
+# text is stripped of it before tokenizing — in ``_dedup_tokens`` here
+# AND in the oracle SQL (replace(text, chr(30), '')) — making the
+# packed representation unambiguous even for control-char-bearing web
+# text (the same class postprocess._CONTROL cleans).
 _SH_SEP = "\x1e"
+
+
+def _dedup_tokens(text_col) -> list[list[str]]:
+    """Whitespace tokens with the shingle separator char stripped first
+    (kept in lockstep with the oracle's replace(text, chr(30), ''))."""
+    cleaned = pc.replace_substring(text_col, pattern=_SH_SEP, replacement="")
+    return pc.split_pattern_regex(cleaned, r"\s+").to_pylist()
 
 
 def doc_shingles_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, packed distinct k-shingles) — the join side of the
     Jaccard verify."""
-    toks = pc.split_pattern_regex(batch["text"], r"\s+").to_pylist()
+    toks = _dedup_tokens(batch["text"])
     sh = [_SH_SEP.join(sorted(_shingles(t))) for t in toks]
     return pa.table(
         {"doc_id": batch["doc_id"],
@@ -338,18 +352,18 @@ def simhash_pairs(ds, max_hamming: int = 3):
                          "simhash": pa.array(full, pa.string())})
 
     def pairs(group: pa.Table) -> pa.Table:
-        """Star pairs against the bucket's min doc_id (skew-linear, same
-        rationale as ``_bucket_pairs``), hamming-verified."""
+        """Chain pairs (each member vs its sorted-by-id predecessor —
+        skew-linear and run-connected, same rationale as
+        ``_bucket_pairs``), hamming-verified."""
         rows = sorted(set(zip(group["doc_id"].to_pylist(),
                               group["simhash"].to_pylist())))
-        anchor_id, anchor_sh = rows[0]
         a, b = [], []
-        for did, h in rows[1:]:
-            if did == anchor_id:
+        for (pid, ph), (did, h) in zip(rows, rows[1:]):
+            if did == pid:
                 continue
-            d = bin(int(anchor_sh, 16) ^ int(h, 16)).count("1")
+            d = bin(int(ph, 16) ^ int(h, 16)).count("1")
             if d <= max_hamming:
-                a.append(anchor_id)
+                a.append(pid)
                 b.append(did)
         return pa.table({"doc_a": pa.array(a, pa.int64()),
                          "doc_b": pa.array(b, pa.int64())})
