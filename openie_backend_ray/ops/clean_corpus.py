@@ -62,17 +62,22 @@ def clean_corpus(ds, jaccard_threshold: float = 0.5):
             ds, threshold=jaccard_threshold
         ).take_all()
     }
-    losers_ref = ray.put(losers)
+    losers_ref = ray.put(pa.array(sorted(losers), pa.int64()))
 
     class DropLosers:
         def __init__(self, losers_ref=None, losers=None):
             if losers is None and losers_ref is not None:
                 losers = ray.get(losers_ref)
+            if not isinstance(losers, pa.Array):
+                losers = pa.array(sorted(losers), pa.int64())
+            # Arrow array once per actor; per-batch membership is a
+            # vectorized pc.is_in, not a per-row Python set probe
             self.losers = losers
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_pylist()
-            mask = pa.array([d not in self.losers for d in ids], pa.bool_())
+            mask = pc.invert(
+                pc.is_in(batch["doc_id"], value_set=self.losers)
+            )
             return batch.filter(mask)
 
     survivors = ds.map_batches(

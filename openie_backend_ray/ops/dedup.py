@@ -270,15 +270,12 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5,
         for b in cands.iter_batches(batch_format="pyarrow"):
             ids.update(b["doc_a"].to_pylist())
             ids.update(b["doc_b"].to_pylist())
-        ids_ref = ray.put(ids)
+        ids_ref = ray.put(pa.array(sorted(ids), pa.int64()))
 
         def keep_cands(batch: pa.Table) -> pa.Table:
+            # vectorized membership against the broadcast id array
             wanted = ray.get(ids_ref)
-            mask = pa.array(
-                [d in wanted for d in batch["doc_id"].to_pylist()],
-                pa.bool_(),
-            )
-            return batch.filter(mask)
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted))
 
         docs_side = ds.map_batches(keep_cands, batch_format="pyarrow")
 

@@ -112,15 +112,17 @@ class SegmentRevenue:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(self.keys, ck)
-        # orders always reference existing customers in the generated
-        # data; clip guards a dangling key from indexing out of range
-        idx = np.clip(idx, 0, len(self.keys) - 1)
-        segs = self.segs[idx]
+        idx = np.clip(np.searchsorted(self.keys, ck), 0, len(self.keys) - 1)
+        # membership mask: a custkey absent from the map must be DROPPED
+        # (inner-join semantics), not silently attributed to the
+        # insertion-point key's segment
+        matched = self.keys[idx] == ck
+        segs = self.segs[idx][matched]
         t = pa.table(
             {
                 "c_mktsegment": pa.array(segs, pa.string()),
-                "price_cents": _cents(batch["o_totalprice"]),
+                "price_cents": _cents(batch["o_totalprice"].filter(
+                    pa.array(matched, pa.bool_()))),
             }
         )
         return _agg(

@@ -112,12 +112,17 @@ def extract_rows(batch: pa.Table, corpus: str = "corpus",
         # reason the dedup ops exist), so repeated sentences skip the
         # extract + key + confidence work entirely.  The cached value
         # excludes the per-occurrence field (source_url); pure-function
-        # output otherwise.  Epoch eviction: clear when full — O(1)
-        # amortized, bounds actor heap.
+        # output otherwise.  The key covers ALL three layers, not just
+        # tokens — extraction depends on postags/chunks too, and a
+        # caller feeding identical tokens under different tag layers
+        # must not get a stale hit.  Epoch eviction: clear when full —
+        # O(1) amortized, bounds actor heap.
         found = None
         skey = None
         if memo is not None:
-            skey = " ".join(toks)
+            skey = "\x00".join(
+                (" ".join(toks), " ".join(tags), " ".join(chks))
+            )
             found = memo.get(skey)
         if found is None:
             found = []
