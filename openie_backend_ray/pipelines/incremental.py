@@ -17,10 +17,14 @@ shuffle-merge over the partitioned triples table:
    actually touched re-enter the linker iff their new size is in the
    reference's sweet spot ``size > 1 && (size < 5 || size % 2 == 0)``
    — small-but-not-singleton groups, plus even-sized ones as they
-   grow; untouched groups keep their existing links.  The touched-key
-   set is the DELTA's key set (bounded by the ingest batch, not the
-   corpus), broadcast into a tag pass; the relink keys are returned so
-   the caller records them in the shard's lineage manifest.
+   grow; untouched groups keep their existing links.  "Touched" is
+   PROVENANCE carried through the merge shuffle itself (each input
+   group is flagged ``from_delta`` and the reducer ORs the flags), so
+   no delta-key set is ever collected on the driver; the relink tag
+   is then one vectorized filter.  The relink keys are returned (opt
+   out with ``return_relink_keys=False``) so the caller can record
+   them in the shard's lineage manifest — that list is the only
+   driver-side collection and is bounded by the ingest batch.
 """
 
 from __future__ import annotations
@@ -94,6 +98,62 @@ def _groups_to_blobs(batch: pa.Table) -> pa.Table:
     )
 
 
+def _flag_origin(from_delta: bool):
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "from_delta",
+            pa.array([from_delta] * batch.num_rows, pa.bool_()),
+        )
+
+    return flag
+
+
+def _regroup_touched(tagged_ds, max_instances: int = 40_000):
+    """``postgroup.regroup`` (G2) that also carries delta provenance
+    THROUGH the merge shuffle: every input group arrives flagged
+    ``from_delta`` and each merged output reports ``touched`` = OR of
+    its members' flags.  This replaces the old driver-side delta-key
+    set (a ``take_all`` over every delta group key) with zero extra
+    passes — the information rides the shuffle the merge already pays
+    for (cf. ``ParallelIndexModifier.scala:33-77``, where the merge
+    reducer likewise knows which documents are new)."""
+    from openie_backend_ray import schema as S
+    from openie_backend_ray.stages.postgroup import _head_index_key
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("rkey", pa.array([], pa.string()))
+        keys = [
+            _head_index_key(insts)
+            for insts in batch["instances"].to_pylist()
+        ]
+        return batch.append_column("rkey", pa.array(keys, pa.string()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from openie_backend_ray.stages.canonicalize import (
+            _merge_rows,
+            canon_order,
+        )
+
+        touched = bool(pc.any(g["from_delta"]).as_py())
+        g = g.drop_columns(["rkey", "from_delta"])
+        row = _merge_rows(g, canon_order(g))
+        row["instances"] = row["instances"][:max_instances]
+        row["size"] = len(row["instances"])
+        t = pa.Table.from_pydict(
+            {k: [row[k]] for k in row}, schema=S.GROUPS
+        )
+        return t.append_column("touched", pa.array([touched], pa.bool_()))
+
+    return (
+        tagged_ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("rkey")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def incremental_update(
     existing_groups_ds,
     incoming_docs_ds,
@@ -101,17 +161,17 @@ def incremental_update(
     lexicon_ref=None,
     side_tables_ref=None,
     corpus: str = "news",
+    return_relink_keys: bool = True,
 ):
     """existing triples + incoming docs -> merged triples (G11).
 
     Returns (merged_groups_ds, delta_docs_ds, relink_keys). The caller
     persists the merged table (checkpoint.run_shard), appends the delta
     doc_ids to the lineage table, and records ``relink_keys`` in the
-    shard manifest."""
-    import ray
-
+    shard manifest.  ``relink_keys`` is the only driver-side collection
+    (bounded by the ingest batch); pass ``return_relink_keys=False`` to
+    skip it entirely on huge backfill deltas."""
     from openie_backend_ray.pipelines.flagship import run_flagship
-    from openie_backend_ray.stages.postgroup import regroup
 
     delta_docs = anti_join_new_docs(incoming_docs_ds, ingested_ids_ref)
     delta_groups = run_flagship(
@@ -119,45 +179,52 @@ def incremental_update(
         lexicon_ref=lexicon_ref,
         side_tables_ref=side_tables_ref,
         corpus=corpus,
-    ).materialize()
-    delta_keys = {
-        _group_key(r["arg1_norm"], r["rel_norm"], r["arg2_norm"])
-        for r in delta_groups.select_columns(
-            ["arg1_norm", "rel_norm", "arg2_norm"]
-        ).take_all()
-    }
-    merged = regroup(existing_groups_ds.union(delta_groups))
+    )
+    tagged_in = existing_groups_ds.map_batches(
+        _flag_origin(False), batch_format="pyarrow"
+    ).union(
+        delta_groups.map_batches(_flag_origin(True), batch_format="pyarrow")
+    )
+    merged = _regroup_touched(tagged_in)
     if side_tables_ref is None:
-        return merged, delta_docs, []
+        return (
+            merged.drop_columns(["touched"]),
+            delta_docs,
+            [],
+        )
 
-    # tag: relink iff the delta touched the key AND the merged size is
-    # in the sweet spot.  merged is materialized once so the keep /
-    # relink splits don't re-execute the merge (at 100 TB: write the
-    # merged partitions first — checkpoint.run_shard — and read twice).
+    # relink iff the delta touched the merged group AND its new size is
+    # in the sweet spot — one vectorized filter over the merge output.
+    # merged is materialized once so the keep / relink splits don't
+    # re-execute the merge (at 100 TB: write the merged partitions
+    # first — checkpoint.run_shard — and read twice).
     merged = merged.materialize()
-    keys_ref = ray.put(delta_keys)
 
     def tag(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        a1 = batch["arg1_norm"].to_pylist()
-        rl = batch["rel_norm"].to_pylist()
-        a2 = batch["arg2_norm"].to_pylist()
-        sz = batch["size"].to_pylist()
-        flags = [
-            _group_key(a, r, b) in keys and needs_relink(s)
-            for a, r, b, s in zip(a1, rl, a2, sz)
-        ]
-        return batch.append_column("relink", pa.array(flags, pa.bool_()))
+        import pyarrow.compute as pc
+
+        sz = batch["size"]
+        sweet = pc.and_(
+            pc.greater(sz, 1),
+            pc.or_(pc.less(sz, 5),
+                   pc.equal(pc.bit_wise_and(sz, 1), 0)),
+        )
+        flags = pc.and_(batch["touched"], sweet)
+        return batch.drop_columns(["touched"]).append_column(
+            "relink", flags
+        )
 
     tagged = merged.map_batches(tag, batch_format="pyarrow")
     keep = tagged.filter(expr="relink == False").drop_columns(["relink"])
     relink = tagged.filter(expr="relink == True").drop_columns(["relink"])
-    relink_keys = sorted(
-        _group_key(r["arg1_norm"], r["rel_norm"], r["arg2_norm"])
-        for r in relink.select_columns(
-            ["arg1_norm", "rel_norm", "arg2_norm"]
-        ).take_all()
-    )
+    relink_keys = []
+    if return_relink_keys:
+        relink_keys = sorted(
+            _group_key(r["arg1_norm"], r["rel_norm"], r["arg2_norm"])
+            for r in relink.select_columns(
+                ["arg1_norm", "rel_norm", "arg2_norm"]
+            ).take_all()
+        )
     from openie_backend_ray.stages.linker import link_groups
 
     relinked = link_groups(
