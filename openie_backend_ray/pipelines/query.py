@@ -202,9 +202,18 @@ def fetch_groups(
     - running maxGroups / maxInstances budgets with a 1/20 tolerance —
       a tier is skipped once a budget is within tolerance of spent;
     - a group that would overflow the instance budget is NOT returned
-      and marks the result Limited (:96-107);
+      and marks the result Limited (:96-107).  Truncation by the
+      maxGroups collector alone is SUCCESS, matching ``readResultSet``
+      (``ExtractionGroupFetcher.scala:87-111``) — only the
+      instance-budget overflow path degrades the status;
     - wall-clock timeout marks it Timeout; Timeout > Limited > Success
-      under combine (:7-45)."""
+      under combine (:7-45).
+
+    Each tier executes ONCE: a per-block local top-k-by-size partial
+    also tags its block's hit count, so the driver re-reduces at most
+    ``blocks x remaining_groups`` rows (the ``top_parts`` pattern,
+    ``ops/relational.py``) instead of running the dataset twice
+    (count() + global sort)."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -239,13 +248,35 @@ def fetch_groups(
                 lambda b: strip_stoplisted_entities(b, sl),
                 batch_format="pyarrow",
             )
-        hits = ds.count()
-        rows = ds.sort("size", descending=True).limit(
-            remaining_groups
+        k = remaining_groups
+
+        def topk_partial(batch, _k=k):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if batch.num_rows == 0:
+                return batch.append_column(
+                    "_hits", pa.array([], pa.int64())
+                )
+            order = pc.sort_indices(
+                batch, sort_keys=[("size", "descending")]
+            )
+            top = batch.take(order[:_k])
+            tags = [batch.num_rows] + [0] * (top.num_rows - 1)
+            return top.append_column("_hits", pa.array(tags, pa.int64()))
+
+        part = ds.map_batches(
+            topk_partial, batch_format="pyarrow", batch_size=None
         ).take_all()
+        hits = sum(r.pop("_hits") for r in part)
+        part.sort(key=lambda r: -r["size"])
+        rows = part[:k]
         taken: list = []
         inst_count = 0
-        limited = hits > len(rows)
+        # maxGroups truncation alone is Success (readResultSet,
+        # ExtractionGroupFetcher.scala:87-111); only instance-budget
+        # overflow below sets Limited
+        limited = False
         timed_out = False
         for r in rows:
             if timeout_millis is not None and elapsed_ms() >= timeout_millis:
