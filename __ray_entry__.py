@@ -441,6 +441,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def _q_group_extractions(salted: bool):
+        """G1 grouper hash-oracle (the extraction back half): Ray runs
+        the REAL combiner + shuffle + merge over the materialized
+        keyed-extractions view; DuckDB re-derives the grouping (dedup
+        window, caps, top instance) from the same parquet.  The salted
+        variant proves the two-phase skew path is output-identical."""
+        import ray.data
+
+        from openie_backend_ray.fixtures.views import (
+            ensure_views,
+            keyed_rows_from_view,
+            project_blob_groups,
+        )
+        from openie_backend_ray.stages.grouper import (
+            group_extractions,
+            group_extractions_salted,
+        )
+
+        d = ensure_views()
+        keyed = (
+            ray.data.read_parquet(f"{d}/extractions.parquet")
+            .repartition(8)  # multiple blocks -> real multi-partial merges
+            .map_batches(keyed_rows_from_view, batch_format="pyarrow")
+        )
+        fn = group_extractions_salted if salted else group_extractions
+        blob = fn(keyed, finalize=False)
+        return blob.map_batches(project_blob_groups, batch_format="pyarrow")
+
+    def q_group_extractions(_sf_dir: str):
+        return _q_group_extractions(salted=False)
+
+    def q_group_extractions_salted(_sf_dir: str):
+        return _q_group_extractions(salted=True)
+
     def q_fetch_groups(_sf_dir: str):
         """S5/J5 serving path end-to-end: materialize the fixture
         GROUPS to a sorted partitioned triples table, then run the
@@ -540,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize": q_canonicalize,
         "type_predictions": q_type_predictions,
         "openie4_triples": q_openie4_triples,
+        "group_extractions": q_group_extractions,
+        "group_extractions_salted": q_group_extractions_salted,
         "fetch_groups": q_fetch_groups,
     }
 

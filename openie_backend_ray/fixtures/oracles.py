@@ -597,4 +597,53 @@ def kg_oracle_sql() -> dict[str, str]:
         FROM h
     """
 
+    # -- G1 grouper: keyed extractions -> groups (the extraction back
+    # half, ScoobiReVerbGrouper.scala:63-130 + InstanceDeduplicator
+    # set semantics).  Re-derives, per key: raw count (500k drop),
+    # the conf-sorted instance dedup window over the signature
+    # (sentence, corpus, spans) with the source_url tiebreak, the 40k
+    # cap, the deterministic top instance, and the capped member
+    # corpora.  Ray runs grouper.group_extractions over the SAME
+    # extractions.parquet rows; the salted two-phase variant shares
+    # this oracle, proving salted == unsalted == SQL. -----------------
+    g1 = f"""
+        WITH ext AS (
+          SELECT * FROM read_parquet('{d}/extractions.parquet')),
+        raw AS (SELECT key, count(*) AS raw_count FROM ext GROUP BY key),
+        ded AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY key, sentence, corpus,
+                           a1s, a1e, rs, re_, a2s, a2e
+              ORDER BY confidence DESC, source_url) AS sig_rn
+          FROM ext),
+        ordered AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY key
+              ORDER BY confidence DESC, sentence, a1s, rs, a2s,
+                       a1e, re_, a2e, corpus, source_url) AS rn
+          FROM ded WHERE sig_rn = 1),
+        capped AS (SELECT * FROM ordered WHERE rn <= 40000),
+        g AS (
+          SELECT key,
+                 min(arg1_norm) AS arg1_norm,
+                 min(rel_norm) AS rel_norm,
+                 min(arg2_norm) AS arg2_norm,
+                 CAST(count(*) AS BIGINT) AS size,
+                 array_to_string(list_sort(list(DISTINCT corpus)), ',')
+                   AS corpora
+          FROM capped GROUP BY key)
+        SELECT g.key, g.arg1_norm, g.rel_norm, g.arg2_norm, g.size,
+               CAST(r.raw_count AS BIGINT) AS raw_count,
+               t.confidence AS top_conf,
+               t.sentence AS top_sentence,
+               t.source_url AS top_source_url,
+               g.corpora
+        FROM g
+        JOIN raw r ON r.key = g.key
+        JOIN capped t ON t.key = g.key AND t.rn = 1
+        WHERE r.raw_count <= 500000
+    """
+    sql["group_extractions"] = g1
+    sql["group_extractions_salted"] = g1
+
     return sql

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 # bump when the view SCHEMA or derivation changes so stale files from a
 # previous code version are never reused
-VIEWS_VERSION = 2
+VIEWS_VERSION = 3
 
 _DEFAULT_DIR = "/tmp/openie_fixture_views"
 
@@ -168,6 +168,155 @@ def build_views() -> dict[str, pa.Table]:
             "media": media}
 
 
+def build_extractions() -> pa.Table:
+    """Flat keyed-extractions view: the INPUT of the G1 grouper
+    (``ScoobiReVerbGrouper.scala:63-130``), materialized so DuckDB can
+    re-derive the grouping (conf-sorted instance dedup, 40k cap,
+    500k-raw drop) independently while Ray runs the real
+    ``grouper.group_extractions`` over the SAME rows.
+
+    Built deterministically on the driver by running the real
+    front-end stages (explode -> chunk -> extract) over the fixture
+    corpus replicated 3x — replication makes duplicate (sentence,
+    corpus, spans) signatures cross document boundaries, so the
+    oracle actually exercises the dedup window, the per-occurrence
+    source_url tiebreak, and multi-partial merges in the shuffle.
+    Corpus alternates cw/news by document parity so cross-corpus
+    signatures stay distinct."""
+    from openie_backend_ray.fixtures.corpus import (
+        build_chunker_lexicon,
+        build_documents,
+    )
+    from openie_backend_ray.stages.chunker import ChunkerActor
+    from openie_backend_ray.stages.extractor import extract_batch
+    from openie_backend_ray.stages.sentences import explode_text_spans
+
+    docs = build_documents(replication=3)
+    chunker = ChunkerActor(lexicon=build_chunker_lexicon())
+    ext = extract_batch(chunker(explode_text_spans(docs)))
+    doc_ids = ext["doc_id"].to_pylist()
+    span_idx = ext["span_idx"].to_pylist()
+
+    def span(col, field):
+        return pa.array(
+            [s[field] for s in ext[col].to_pylist()], pa.int64()
+        )
+
+    return pa.table(
+        {
+            "doc_id": ext["doc_id"],
+            "span_idx": ext["span_idx"],
+            "key": ext["key"],
+            "arg1_norm": ext["arg1_norm"],
+            "rel_norm": ext["rel_norm"],
+            "arg2_norm": ext["arg2_norm"],
+            "sentence": pa.array(
+                [" ".join(t) for t in ext["tokens"].to_pylist()],
+                pa.string(),
+            ),
+            "postags_s": pa.array(
+                [" ".join(t) for t in ext["postags"].to_pylist()],
+                pa.string(),
+            ),
+            "chunks_s": pa.array(
+                [" ".join(t) for t in ext["chunks"].to_pylist()],
+                pa.string(),
+            ),
+            "a1s": span("arg1", "start"), "a1e": span("arg1", "end"),
+            "rs": span("rel", "start"), "re_": span("rel", "end"),
+            "a2s": span("arg2", "start"), "a2e": span("arg2", "end"),
+            # per-occurrence fields: corpus by doc parity, a synthetic
+            # deterministic url per (doc, span) so equal-signature
+            # duplicates still have an orderable tiebreak field
+            "corpus": pa.array(
+                ["cw" if int(d[3:]) % 2 == 0 else "news" for d in doc_ids],
+                pa.string(),
+            ),
+            "source_url": pa.array(
+                [f"http://src/{d}/{i}" for d, i in zip(doc_ids, span_idx)],
+                pa.string(),
+            ),
+            "confidence": ext["confidence"],
+        }
+    )
+
+
+def keyed_rows_from_view(batch: pa.Table) -> pa.Table:
+    """Flat extractions-view rows -> the keyed extraction schema the
+    grouper's map-side combiner consumes (inverse of
+    ``build_extractions``'s flattening)."""
+    from openie_backend_ray import schema as S
+
+    def lists(col):
+        return pa.array(
+            [s.split(" ") for s in batch[col].to_pylist()],
+            pa.list_(pa.string()),
+        )
+
+    def iv(s_col, e_col):
+        return pa.array(
+            [
+                {"start": s, "end": e}
+                for s, e in zip(batch[s_col].to_pylist(),
+                                batch[e_col].to_pylist())
+            ],
+            S.INTERVAL,
+        )
+
+    return pa.table(
+        {
+            "key": batch["key"],
+            "arg1_norm": batch["arg1_norm"],
+            "rel_norm": batch["rel_norm"],
+            "arg2_norm": batch["arg2_norm"],
+            "tokens": lists("sentence"),
+            "postags": lists("postags_s"),
+            "chunks": lists("chunks_s"),
+            "arg1": iv("a1s", "a1e"),
+            "rel": iv("rs", "re_"),
+            "arg2": iv("a2s", "a2e"),
+            "source_url": batch["source_url"],
+            "corpus": batch["corpus"],
+            "confidence": batch["confidence"],
+        }
+    )
+
+
+def project_blob_groups(batch: pa.Table) -> pa.Table:
+    """BLOB_GROUPS rows -> the flat comparable projection the G1
+    oracle re-derives in SQL (top-instance fields expose the dedup
+    window's choice; corpora the capped member set)."""
+    import pickle
+
+    import pyarrow.compute as pc
+
+    insts = [pickle.loads(b) for b in batch["instances_blob"].to_pylist()]
+    top = [r[0] for r in insts]
+    return pa.table(
+        {
+            "key": batch["key"],
+            "arg1_norm": batch["arg1_norm"],
+            "rel_norm": batch["rel_norm"],
+            "arg2_norm": batch["arg2_norm"],
+            "size": pc.cast(batch["size"], pa.int64()),
+            "raw_count": batch["raw_count"],
+            "top_conf": pa.array(
+                [t["confidence"] for t in top], pa.float64()
+            ),
+            "top_sentence": pa.array(
+                [" ".join(t["tokens"]) for t in top], pa.string()
+            ),
+            "top_source_url": pa.array(
+                [t["source_url"] for t in top], pa.string()
+            ),
+            "corpora": pa.array(
+                [",".join(sorted({i["corpus"] for i in r})) for r in insts],
+                pa.string(),
+            ),
+        }
+    )
+
+
 _ensured: str | None = None
 
 
@@ -177,12 +326,13 @@ def ensure_views() -> str:
     d = views_dir()
     if _ensured == d:
         return d
-    names = ("groups", "instances", "tokens", "media")
+    names = ("groups", "instances", "tokens", "media", "extractions")
     if not all(
         os.path.exists(os.path.join(d, f"{n}.parquet")) for n in names
     ):
         os.makedirs(d, exist_ok=True)
         views = build_views()
+        views["extractions"] = build_extractions()
         for n in names:
             tmp = os.path.join(d, f".{n}.parquet.{os.getpid()}.tmp")
             pq.write_table(views[n], tmp)
