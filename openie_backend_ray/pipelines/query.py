@@ -168,16 +168,17 @@ def query_triples(
     return ds.sort("size", descending=True).limit(max_groups)
 
 
-def _clause_expr(arg1, rel, arg2):
+def _clause_expr(arg1, rel, arg2, normalize: bool = True):
     import pyarrow.compute as pc
 
+    norm = normalize_query_part if normalize else (lambda s: s)
     clauses = []
     if arg1 is not None:
-        clauses.append(pc.field("arg1_norm") == normalize_query_part(arg1))
+        clauses.append(pc.field("arg1_norm") == norm(arg1))
     if rel is not None:
-        clauses.append(pc.field("rel_norm") == normalize_query_part(rel))
+        clauses.append(pc.field("rel_norm") == norm(rel))
     if arg2 is not None:
-        clauses.append(pc.field("arg2_norm") == normalize_query_part(arg2))
+        clauses.append(pc.field("arg2_norm") == norm(arg2))
     expr = None
     for c in clauses:
         expr = c if expr is None else (expr & c)
@@ -193,6 +194,7 @@ def fetch_groups(
     max_instances: int = 10_000,  # readMaxInstances budget
     timeout_millis: float | None = None,
     stoplist: bool = True,
+    normalize: bool = True,  # False: clauses are already index norms
 ) -> ResultSet:
     """Budgeted, size-tiered fetch with the reference's result algebra
     (``ExtractionGroupFetcher.getGroups``, :143-161):
@@ -217,7 +219,7 @@ def fetch_groups(
     import pyarrow.compute as pc
     import ray.data
 
-    expr, n_clauses = _clause_expr(arg1, rel, arg2)
+    expr, n_clauses = _clause_expr(arg1, rel, arg2, normalize=normalize)
     tiers = _TIERS_NARROW if n_clauses > 1 else _TIERS_BROAD
     group_tol = max_groups // 20      # searchGroupTolerance (:55)
     inst_tol = max_instances // 20    # readInstanceTolerance (:56)
