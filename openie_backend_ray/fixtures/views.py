@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 # bump when the view SCHEMA or derivation changes so stale files from a
 # previous code version are never reused
-VIEWS_VERSION = 3
+VIEWS_VERSION = 4
 
 _DEFAULT_DIR = "/tmp/openie_fixture_views"
 

@@ -108,16 +108,16 @@ def normalize_query_part(text: str, tags: list[str] | None = None) -> str:
     key; the reference stems query terms with the same TaggedStemmer
     after POS-tagging them with its query-side tagger pool,
     ``QuerySpec.scala:81-134,190-224`` — A7).  Without explicit tags the
-    engine's deterministic heuristic tagger supplies them (the same
-    tagger the chunker falls back to, so query terms normalize exactly
-    like indexed terms outside the golden lexicon)."""
+    engine's out-of-lexicon tagger supplies them — the SAME trained
+    perceptron the chunker uses, so query terms normalize exactly like
+    indexed terms outside the golden lexicon."""
     from openie_backend_ray.functions.normalize import index_key_part
 
     toks = text.split()
     if tags is None:
-        from openie_backend_ray.stages.chunker import heuristic_layers
+        from openie_backend_ray.stages.chunker import model_layers
 
-        h_toks, h_tags, _ = heuristic_layers(text)
+        h_toks, h_tags, _ = model_layers(text)
         if h_toks == toks:
             tags = h_tags
         else:  # tokenization disagreement: fall back to noun tags

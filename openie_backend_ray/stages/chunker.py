@@ -112,11 +112,44 @@ def heuristic_layers(text: str) -> tuple[list[str], list[str], list[str]]:
     return tokens, tags, _chunk_tags(tags)
 
 
+def model_layers(
+    text: str, tagger=None, chunk_tagger=None
+) -> tuple[list[str], list[str], list[str]]:
+    """Out-of-lexicon layers from the trained averaged-perceptron POS
+    and IOB-chunk models (``functions/postagger.py``; the
+    OpenNLP-model analogue), falling back to the rule tagger / rule
+    chunker only when the vendored weights are absent."""
+    if tagger is None:
+        from openie_backend_ray.functions.postagger import default_tagger
+
+        tagger = default_tagger()
+    if tagger is None:
+        return heuristic_layers(text)
+    if chunk_tagger is None:
+        from openie_backend_ray.functions.postagger import default_chunker
+
+        chunk_tagger = default_chunker()
+    tokens = text.split(" ")
+    tags = tagger.tag(tokens)
+    chunks = (
+        chunk_tagger.tag(tokens, tags)
+        if chunk_tagger is not None
+        else _chunk_tags(tags)
+    )
+    return tokens, tags, chunks
+
+
 class ChunkerActor:
-    """Actor-pool chunker: lexicon hit -> golden layers; miss -> heuristic."""
+    """Actor-pool chunker: lexicon hit -> golden layers; miss -> the
+    trained perceptron tagger (A1 model state, loaded once per actor),
+    with a sentence-level memo so duplicated web sentences tag once."""
+
+    _MEMO_CAP = 200_000
 
     def __init__(self, lexicon_ref=None, lexicon: pa.Table | None = None):
         import ray
+
+        from openie_backend_ray.functions.postagger import default_tagger
 
         if lexicon is None and lexicon_ref is not None:
             lexicon = ray.get(lexicon_ref)
@@ -129,14 +162,31 @@ class ChunkerActor:
             self._lex = {
                 s: (t, p, c) for s, t, p, c in zip(sents, toks, tags, chks)
             }
+        from openie_backend_ray.functions.postagger import default_chunker
+
+        self._tagger = default_tagger()
+        self._chunker = default_chunker()
+        self._memo: dict[str, tuple[list[str], list[str], list[str]]] = {}
+
+    def _layers(self, s: str):
+        hit = self._lex.get(s)
+        if hit is not None:
+            return hit
+        hit = self._memo.get(s)
+        if hit is None:
+            hit = model_layers(
+                s, tagger=self._tagger, chunk_tagger=self._chunker
+            )
+            if len(self._memo) >= self._MEMO_CAP:
+                self._memo.clear()  # epoch eviction, O(1) amortized
+            self._memo[s] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         toks, tags, chks = [], [], []
         for s in texts:
-            hit = self._lex.get(s)
-            if hit is None:
-                hit = heuristic_layers(s)
+            hit = self._layers(s)
             toks.append(hit[0])
             tags.append(hit[1])
             chks.append(hit[2])
