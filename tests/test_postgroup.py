@@ -280,15 +280,18 @@ def test_incremental_relink_sweet_spot(ray_session):
     assert [s for s in range(1, 9) if needs_relink(s)] == [2, 3, 4, 6, 8]
 
     sent = "Obama visited Paris today ."
-    toks = ["Obama", "visited", "Paris", "today", "."]
-    # layers as the pipeline's heuristic tagger will produce them, so
-    # the delta extraction lands on the SAME index key
-    tags = ["NNP", "VBD", "NNPS", "NN", "."]
+    # layers exactly as the pipeline's model tagger will produce them,
+    # so the delta extraction lands on the SAME index key
+    from openie_backend_ray.functions.normalize import index_key
+    from openie_backend_ray.stages.chunker import model_layers
+
+    toks, tags, _ = model_layers(sent)
+    a1n, rln, a2n = index_key(toks, tags, (0, 1), (1, 2), (2, 4))
     i1 = _mk_inst(toks, tags, (0, 1), (1, 2), (2, 4))
     # existing: one group the delta will touch (size 1 -> 2: in spot)
     # and one untouched group
     existing = rd.from_arrow(_groups_table([
-        _mk_group("obama", "visit", "pari today", [i1]),
+        _mk_group(a1n, rln, a2n, [i1]),
         _mk_group("merkel", "visit", "rome", [
             _mk_inst(["Merkel", "visited", "Rome", "."],
                      ["NNP", "VBD", "NNP", "."], (0, 1), (1, 2), (2, 3))
