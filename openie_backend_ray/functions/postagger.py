@@ -134,9 +134,14 @@ class PerceptronTagger:
     # -- inference ---------------------------------------------------------
 
     def _compile(self):
-        """weights dict -> (feature -> row id, row matrix).  argmax over
-        a row-sum with numpy's first-max tie-break == first maximal
-        class in sorted order."""
+        """weights dict -> (feature -> row id, row matrix) plus
+        precomputed TRANSITION rows: the four tag-dependent features
+        ("i-1 tag", "i-2 tag", their conjunction, "i-1 tag+i word")
+        split out so the per-sentence CONTEXT features can be summed in
+        ONE ``np.add.reduceat`` call and the sequential loop only adds
+        a cached (prev, prev2) transition vector per token.  argmax
+        with numpy's first-max tie-break == first maximal class in
+        sorted order."""
         self._classes = list(self.model.classes)
         cid = {c: j for j, c in enumerate(self._classes)}
         self._feat_id = {}
@@ -152,28 +157,134 @@ class PerceptronTagger:
             if rows
             else np.zeros((0, len(self._classes)), dtype=np.float64)
         )
+        self._zero = np.zeros(len(self._classes), dtype=np.float64)
+        self._trans: dict[tuple[str, str], np.ndarray] = {}
+        # per-word ROLE id caches: word -> pre-resolved feature row ids
+        # for each window slot, so the hot loop never builds strings
+        self._raw_ids: dict[str, tuple[int, ...]] = {}
+        self._win_ids: dict[str, tuple[int, ...]] = {}
+        self._bias_id = self._feat_id.get("bias")
+
+    _CACHE_CAP = 1_000_000
+
+    def _trans_row(self, prev: str, prev2: str) -> np.ndarray:
+        """Cached sum of the tag-only feature rows for a (prev, prev2)
+        state — at most |tags|^2 entries ever exist."""
+        row = self._trans.get((prev, prev2))
+        if row is None:
+            fid = self._feat_id
+            W = self._W
+            row = self._zero
+            for k in ("i-1 tag " + prev,
+                      "i-2 tag " + prev2,
+                      "i tag+i-2 tag " + prev + " " + prev2):
+                j = fid.get(k)
+                if j is not None:
+                    row = row + W[j]
+            self._trans[(prev, prev2)] = row
+        return row
+
+    def _raw(self, word: str) -> tuple[int, ...]:
+        """suffix/prefix feature ids of the RAW center word."""
+        t = self._raw_ids.get(word)
+        if t is None:
+            fget = self._feat_id.get
+            t = tuple(
+                j
+                for j in (fget("i suffix " + word[-3:]),
+                          fget("i pref1 " + word[0]))
+                if j is not None
+            )
+            if len(self._raw_ids) >= self._CACHE_CAP:
+                self._raw_ids.clear()
+            self._raw_ids[word] = t
+        return t
+
+    def _win(self, v: str) -> tuple[int, ...]:
+        """All window-slot feature ids of a NORMALIZED word, packed as
+        (n_center, n_m1, n_m2, n_p1, ids...) — slot counts first, then
+        the ids slot by slot."""
+        t = self._win_ids.get(v)
+        if t is None:
+            fget = self._feat_id.get
+            slots = (
+                (fget("i word " + v),),
+                (fget("i-1 word " + v), fget("i-1 suffix " + v[-3:])),
+                (fget("i-2 word " + v),),
+                (fget("i+1 word " + v), fget("i+1 suffix " + v[-3:])),
+                (fget("i+2 word " + v),),
+            )
+            packed = tuple(
+                tuple(j for j in slot if j is not None) for slot in slots
+            )
+            if len(self._win_ids) >= self._CACHE_CAP:
+                self._win_ids.clear()
+            self._win_ids[v] = packed
+            t = packed
+        return t
 
     def tag(self, tokens: list[str]) -> list[str]:
-        prev, prev2 = _START
-        out = []
+        if not tokens:
+            return []
+        if self._W is None:  # un-compiled (mid-training) fallback
+            return self._tag_dictpath(tokens)
         context = _START + [_normalize(w) for w in tokens] + _END
-        fid = self._feat_id
+        fget = self._feat_id.get
         W = self._W
         get_tag = self.tagdict.get
+        win = self._win
+        # pre-resolve window ids once per sentence position
+        wins = [win(v) for v in context]
+        # one reduceat over every unknown position's context features
+        need = [i for i, w in enumerate(tokens) if get_tag(w) is None]
+        if need:
+            ids: list[int] = []
+            offs: list[int] = []
+            bias = self._bias_id
+            for i in need:
+                offs.append(len(ids))
+                # "bias" is always a trained feature, so every segment
+                # is non-empty and reduceat offsets stay strict
+                ids.append(bias)
+                ids.extend(self._raw(tokens[i]))
+                ids.extend(wins[i + 2][0])  # i word
+                ids.extend(wins[i + 1][1])  # i-1 word/suffix
+                ids.extend(wins[i][2])      # i-2 word
+                ids.extend(wins[i + 3][3])  # i+1 word/suffix
+                ids.extend(wins[i + 4][4])  # i+2 word
+            ctx_scores = np.add.reduceat(
+                W[np.asarray(ids, dtype=np.intp)],
+                np.asarray(offs, dtype=np.intp),
+                axis=0,
+            )
+        prev, prev2 = _START
+        out = []
+        classes = self._classes
+        k = 0
         for i, word in enumerate(tokens):
             tag = get_tag(word)
             if tag is None:
-                keys = _feature_keys(i, word, context, prev, prev2)
-                if W is not None:
-                    idxs = [fid[k] for k in keys if k in fid]
-                    if idxs:
-                        tag = self._classes[
-                            int(np.argmax(W[idxs].sum(axis=0)))
-                        ]
-                    else:
-                        tag = self._classes[0]
-                else:
-                    tag = self.model.predict(keys)
+                score = ctx_scores[k] + self._trans_row(prev, prev2)
+                k += 1
+                j = fget("i-1 tag+i word " + prev + " " + context[i + 2])
+                if j is not None:
+                    score = score + W[j]
+                tag = classes[int(score.argmax())]
+            out.append(tag)
+            prev2 = prev
+            prev = tag
+        return out
+
+    def _tag_dictpath(self, tokens: list[str]) -> list[str]:
+        prev, prev2 = _START
+        out = []
+        context = _START + [_normalize(w) for w in tokens] + _END
+        for i, word in enumerate(tokens):
+            tag = self.tagdict.get(word)
+            if tag is None:
+                tag = self.model.predict(
+                    _feature_keys(i, word, context, prev, prev2)
+                )
             out.append(tag)
             prev2 = prev
             prev = tag
@@ -300,6 +411,11 @@ class ChunkPerceptron:
         self._classes: list[str] = []
 
     def _compile(self):
+        """Same reduceat/transition decomposition as
+        ``PerceptronTagger._compile``: context features (word/POS
+        windows) sum in one call per sentence; the sequential loop
+        adds a cached (t-1, t-2) transition row plus the t-1+POS
+        conjunction lookup."""
         self._classes = list(self.model.classes)
         cid = {c: j for j, c in enumerate(self._classes)}
         self._feat_id = {}
@@ -315,25 +431,125 @@ class ChunkPerceptron:
             if rows
             else np.zeros((0, len(self._classes)), dtype=np.float64)
         )
+        self._zero = np.zeros(len(self._classes), dtype=np.float64)
+        self._trans: dict[tuple[str, str], np.ndarray] = {}
+        # role caches (cf. PerceptronTagger): word-slot ids, POS-combo
+        # ids keyed by the (p-1, p, p+1) tuple, w+p conjunction ids
+        self._wslot: dict[str, tuple] = {}
+        self._pcombo: dict[tuple[str, str, str], tuple[int, ...]] = {}
+        self._wp: dict[tuple[str, str], int | None] = {}
+        self._bias_id = self._feat_id.get("bias")
+
+    _CACHE_CAP = 1_000_000
+
+    def _trans_row(self, prev: str, prev2: str) -> np.ndarray:
+        row = self._trans.get((prev, prev2))
+        if row is None:
+            fid = self._feat_id
+            W = self._W
+            row = self._zero
+            for k in ("t-1 " + prev, "t-2 " + prev2):
+                j = fid.get(k)
+                if j is not None:
+                    row = row + W[j]
+            self._trans[(prev, prev2)] = row
+        return row
+
+    def _wids(self, v: str) -> tuple:
+        t = self._wslot.get(v)
+        if t is None:
+            fget = self._feat_id.get
+            t = tuple(
+                tuple(j for j in slot if j is not None)
+                for slot in ((fget("w " + v),),
+                             (fget("w-1 " + v),),
+                             (fget("w+1 " + v),))
+            )
+            if len(self._wslot) >= self._CACHE_CAP:
+                self._wslot.clear()
+            self._wslot[v] = t
+        return t
+
+    def _pids(self, pm1: str, p: str, pp1: str) -> tuple[int, ...]:
+        key = (pm1, p, pp1)
+        t = self._pcombo.get(key)
+        if t is None:
+            fget = self._feat_id.get
+            t = tuple(
+                j
+                for j in (fget("p " + p),
+                          fget("p-1 " + pm1),
+                          fget("p+1 " + pp1),
+                          fget("p-1+p " + pm1 + " " + p),
+                          fget("p+p+1 " + p + " " + pp1),
+                          fget("p-1+p+p+1 " + pm1 + " " + p + " " + pp1))
+                if j is not None
+            )
+            self._pcombo[key] = t
+        return t
 
     def tag(self, tokens: list[str], postags: list[str]) -> list[str]:
-        prev, prev2 = _START
+        if not tokens:
+            return []
         words = _START + [_normalize(w) for w in tokens] + _END
         poss = _START + list(postags) + _END
         fid = self._feat_id
         W = self._W
-        out = []
-        for i in range(len(tokens)):
-            keys = _chunk_feature_keys(i, words, poss, prev, prev2)
-            if W is not None:
-                idxs = [fid[k] for k in keys if k in fid]
-                tag = (
-                    self._classes[int(np.argmax(W[idxs].sum(axis=0)))]
-                    if idxs
-                    else self._classes[0]
+        if W is None:  # un-compiled (mid-training) fallback
+            prev, prev2 = _START
+            out = []
+            for i in range(len(tokens)):
+                tag = self.model.predict(
+                    _chunk_feature_keys(i, words, poss, prev, prev2)
                 )
-            else:
-                tag = self.model.predict(keys)
+                out.append(tag)
+                prev2 = prev
+                prev = tag
+            return out
+        fget = fid.get
+        wids = self._wids
+        pids = self._pids
+        wp = self._wp
+        ids: list[int] = []
+        offs: list[int] = []
+        bias = self._bias_id
+        wslots = [wids(v) for v in words]
+        for i in range(len(tokens)):
+            offs.append(len(ids))
+            j = i + 2
+            # "bias" is always trained -> non-empty reduceat segments
+            ids.append(bias)
+            ids.extend(wslots[j][0])      # w
+            ids.extend(wslots[j - 1][1])  # w-1
+            ids.extend(wslots[j + 1][2])  # w+1
+            ids.extend(pids(poss[j - 1], poss[j], poss[j + 1]))
+            for k in ("p-2 " + poss[j - 2], "p+2 " + poss[j + 2]):
+                fj = fget(k)
+                if fj is not None:
+                    ids.append(fj)
+            wpk = (words[j], poss[j])
+            fj = wp.get(wpk, False)
+            if fj is False:
+                fj = fget("w+p " + words[j] + " " + poss[j])
+                if len(wp) >= self._CACHE_CAP:
+                    wp.clear()
+                wp[wpk] = fj
+            if fj is not None:
+                ids.append(fj)
+        ctx_scores = np.add.reduceat(
+            W[np.asarray(ids, dtype=np.intp)],
+            np.asarray(offs, dtype=np.intp),
+            axis=0,
+        )
+        prev, prev2 = _START
+        out = []
+        classes = self._classes
+        for i in range(len(tokens)):
+            score = ctx_scores[i] + self._trans_row(prev, prev2)
+            j = fget("t-1+p " + prev + " " + poss[i + 2])
+            if j is not None:
+                score = score + W[j]
+            tag = classes[int(score.argmax())]
             out.append(tag)
             prev2 = prev
             prev = tag
