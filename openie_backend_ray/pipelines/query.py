@@ -195,6 +195,7 @@ def fetch_groups(
     timeout_millis: float | None = None,
     stoplist: bool = True,
     normalize: bool = True,  # False: clauses are already index norms
+    backend: str = "auto",   # "arrow" | "ray" | "auto" (see docstring)
 ) -> ResultSet:
     """Budgeted, size-tiered fetch with the reference's result algebra
     (``ExtractionGroupFetcher.getGroups``, :143-161):
@@ -215,11 +216,23 @@ def fetch_groups(
     also tags its block's hit count, so the driver re-reduces at most
     ``blocks x remaining_groups`` rows (the ``top_parts`` pattern,
     ``ops/relational.py``) instead of running the dataset twice
-    (count() + global sort)."""
+    (count() + global sort).
+
+    Backend: a CLAUSED fetch is a point query — the Parquet filter
+    pushdown returns at most a few budgeted row groups, so launching a
+    distributed Dataset per tier pays ~200 ms of fixed scheduling per
+    tier for a driver-sized read.  ``backend="arrow"`` scans the store
+    with ``pyarrow.dataset`` directly (same pushdown, same rows, no
+    task launch) — the serving-latency analogue of the reference
+    querying Lucene in-process.  ``"auto"`` picks arrow when any
+    clause is present and the distributed scan (``"ray"``) for
+    unclaused full-store fetches."""
     import pyarrow.compute as pc
     import ray.data
 
     expr, n_clauses = _clause_expr(arg1, rel, arg2, normalize=normalize)
+    if backend == "auto":
+        backend = "arrow" if n_clauses > 0 else "ray"
     tiers = _TIERS_NARROW if n_clauses > 1 else _TIERS_BROAD
     group_tol = max_groups // 20      # searchGroupTolerance (:55)
     inst_tol = max_instances // 20    # readInstanceTolerance (:56)
@@ -244,35 +257,51 @@ def fetch_groups(
             tier_expr = tier_expr & (pc.field("size") < hi)
         if expr is not None:
             tier_expr = tier_expr & expr
-        ds = ray.data.read_parquet(triples_dir, filter=tier_expr)
-        if sl:
-            ds = ds.map_batches(
-                lambda b: strip_stoplisted_entities(b, sl),
-                batch_format="pyarrow",
-            )
         k = remaining_groups
+        if backend == "arrow":
+            import pyarrow.dataset as pads
 
-        def topk_partial(batch, _k=k):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            if batch.num_rows == 0:
-                return batch.append_column(
-                    "_hits", pa.array([], pa.int64())
-                )
-            order = pc.sort_indices(
-                batch, sort_keys=[("size", "descending")]
+            tbl = pads.dataset(triples_dir, format="parquet").to_table(
+                filter=tier_expr
             )
-            top = batch.take(order[:_k])
-            tags = [batch.num_rows] + [0] * (top.num_rows - 1)
-            return top.append_column("_hits", pa.array(tags, pa.int64()))
+            if sl and tbl.num_rows:
+                tbl = strip_stoplisted_entities(tbl, sl)
+            hits = tbl.num_rows
+            order = pc.sort_indices(
+                tbl, sort_keys=[("size", "descending")]
+            )
+            rows = tbl.take(order[:k]).to_pylist()
+        else:
+            ds = ray.data.read_parquet(triples_dir, filter=tier_expr)
+            if sl:
+                ds = ds.map_batches(
+                    lambda b: strip_stoplisted_entities(b, sl),
+                    batch_format="pyarrow",
+                )
 
-        part = ds.map_batches(
-            topk_partial, batch_format="pyarrow", batch_size=None
-        ).take_all()
-        hits = sum(r.pop("_hits") for r in part)
-        part.sort(key=lambda r: -r["size"])
-        rows = part[:k]
+            def topk_partial(batch, _k=k):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                if batch.num_rows == 0:
+                    return batch.append_column(
+                        "_hits", pa.array([], pa.int64())
+                    )
+                order = pc.sort_indices(
+                    batch, sort_keys=[("size", "descending")]
+                )
+                top = batch.take(order[:_k])
+                tags = [batch.num_rows] + [0] * (top.num_rows - 1)
+                return top.append_column(
+                    "_hits", pa.array(tags, pa.int64())
+                )
+
+            part = ds.map_batches(
+                topk_partial, batch_format="pyarrow", batch_size=None
+            ).take_all()
+            hits = sum(r.pop("_hits") for r in part)
+            part.sort(key=lambda r: -r["size"])
+            rows = part[:k]
         taken: list = []
         inst_count = 0
         # maxGroups truncation alone is Success (readResultSet,
