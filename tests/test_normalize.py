@@ -152,6 +152,27 @@ def test_nell_type_map():
     assert nell_type_for("/no/suchtype") is None
 
 
+def test_confidence_fitted_tracks_golden():
+    """M6 fidelity gate: the shipped fitted weights must rank-correlate
+    with the reference-produced golden confidences clearly better than
+    the hand-tuned fallback (held-out Spearman 0.553 vs 0.345 at fit
+    time; gate at 0.5 full-data to leave refit headroom)."""
+    import numpy as np
+
+    from openie_backend_ray.functions import confidence as C
+
+    assert C._load_weights() is not None, "conf_weights.json missing"
+    pred, gold = [], []
+    for g in clean_groups():
+        for i in g.instances:
+            pred.append(C.score(i.tokens, i.postags, i.arg1, i.rel, i.arg2))
+            gold.append(i.confidence)
+    ra = np.argsort(np.argsort(pred))
+    rb = np.argsort(np.argsort(gold))
+    spearman = float(np.corrcoef(ra, rb)[0, 1])
+    assert spearman >= 0.5, spearman
+
+
 def test_confidence_ranking_behavior():
     """M6 contract: only ranking matters. Clean proper-noun short
     extraction ranks above a pronoun-argument long-sentence one."""
