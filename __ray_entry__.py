@@ -165,6 +165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return clean_corpus(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_fuzzy_components(sf_dir: str):
+        from openie_backend_ray.ops.components import connected_components
+
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return connected_components(D.ngram_jaccard_pairs(ds, threshold=0.5))
+
     def q_simhash(sf_dir: str):
         return D.simhash(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -544,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "clean_corpus": q_clean_corpus,
+        "fuzzy_components": q_fuzzy_components,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_pairs": q_embedding_pairs,
@@ -785,6 +792,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.doc_id NOT IN (SELECT doc_id FROM near_losers)
               AND s.n_tokens >= 10 AND s.n_tokens <= 10000
               AND s.stopword_ratio <= 0.5
+        """,
+        # connected components of the Jaccard-verified pair graph:
+        # component = min reachable doc_id (recursive transitive
+        # closure; the Ray side runs the large-star/small-star
+        # algorithm, ops/components.py)
+        "fuzzy_components": f"""
+            WITH RECURSIVE {_MINHASH_CTE},
+            jac AS (
+              SELECT c.doc_a, c.doc_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+              WHERE CAST(len(list_intersect(sa.shingles, sb.shingles))
+                         AS DOUBLE)
+                      / len(list_distinct(sa.shingles || sb.shingles))
+                      >= 0.5),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM jac
+                    UNION SELECT doc_b, doc_a FROM jac),
+            reach AS (SELECT u, v FROM sym
+                      UNION
+                      SELECT r.u, s.v FROM reach r
+                      JOIN sym s ON r.v = s.u)
+            SELECT u AS doc_id, least(u, min(v)) AS component
+            FROM reach GROUP BY u
         """,
         "embedding_pairs": f"""
             WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings)

@@ -161,6 +161,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "orders_in_range", "kmv_distinct_tokens",
         "media_features", "extreme_filter",
         "regroup", "type_predictions", "clean_corpus",
+        "fuzzy_components",
         "openie4_triples", "group_extractions",
     ]
     timings = {}

@@ -339,3 +339,88 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+# ---------------------------------------------------------------------------
+# connected components (fuzzy-dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def _bfs_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Brute-force reference: component = min reachable node."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, todo = [], [start]
+        seen.add(start)
+        while todo:
+            n = todo.pop()
+            comp.append(n)
+            for nb in adj[n]:
+                if nb not in seen:
+                    seen.add(nb)
+                    todo.append(nb)
+        m = min(comp)
+        for n in comp:
+            out[n] = m
+    return out
+
+
+def test_connected_components_matches_bfs(ray_session):
+    """Chains, a clique, a 2-cycle of pairs, singleton edge, disjoint
+    islands — including a long path (the chain-pair bucket shape) that
+    defeats naive min-label propagation round counts."""
+    import ray
+
+    from openie_backend_ray.ops.components import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(100, 140)]        # long path
+        + [(7, 3), (3, 9), (9, 7)]                   # triangle
+        + [(1, 2)]                                   # single pair
+        + [(50, 60), (60, 55), (55, 52), (52, 50)]   # 4-cycle
+        + [(200, 300), (300, 201), (201, 301)]       # bipartite-ish
+        + [(400, 400)]                               # self-loop: dropped
+    )
+    want = _bfs_components([(a, b) for a, b in edges if a != b])
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                  "b": pa.array([b for _, b in edges], pa.int64())})
+    )
+    # both paths must produce the identical clustering: the bounded
+    # union-find fast path and the distributed star rounds (forced by
+    # a zero small-graph cap)
+    for cap in (5_000_000, 0):
+        got_rows = connected_components(
+            ds, npartitions=4, small_graph_max_edges=cap
+        ).take_all()
+        got = {r["doc_id"]: r["component"] for r in got_rows}
+        assert got == want, f"cap={cap}"
+        assert len(got_rows) == len(got)  # no duplicate doc_id rows
+
+
+def test_connected_components_empty_and_pair_cols(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.components import connected_components
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()),
+                  "doc_b": pa.array([], pa.int64())})
+    )
+    assert connected_components(empty).take_all() == []
+
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([10, 20], pa.int64()),
+                  "doc_b": pa.array([11, 21], pa.int64()),
+                  "jaccard": pa.array([0.9, 0.8], pa.float64())})
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).take_all()}
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20}
