@@ -150,6 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_vocab_stats(sf_dir: str):
         return TS.vocab_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_repetition_stats(sf_dir: str):
+        return TS.repetition_stats(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
     def q_dedup_exact(sf_dir: str):
         return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -546,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "top_tokens": q_top_tokens,
         "vocab_stats": q_vocab_stats,
+        "repetition_stats": q_repetition_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -739,6 +745,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_tokens,
                    count(DISTINCT token) AS n_distinct
             FROM tok
+        """,
+        # Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+        # top-bigram occupancy + duplicated-trigram occurrence fraction
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            bgs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM t),
+            bcnt AS (SELECT doc_id, g, count(*) AS c
+                     FROM bgs GROUP BY doc_id, g),
+            btop AS (SELECT doc_id,
+                            CAST(max(c) AS DOUBLE) / sum(c) AS f
+                     FROM bcnt GROUP BY doc_id),
+            tgs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]
+                            || ' ' || toks[i+2])) AS g
+              FROM t),
+            tcnt AS (SELECT doc_id, g, count(*) AS c
+                     FROM tgs GROUP BY doc_id, g),
+            tdup AS (SELECT doc_id,
+                            CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                                 AS DOUBLE) / sum(c) AS f
+                     FROM tcnt GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(b.f, 0.0) AS top_bigram_frac,
+                   COALESCE(d.f, 0.0) AS dup_trigram_frac,
+                   (COALESCE(b.f, 0.0) > 0.2
+                    OR COALESCE(d.f, 0.0) > 0.3) AS repetitive
+            FROM t
+            LEFT JOIN btop b USING (doc_id)
+            LEFT JOIN tdup d USING (doc_id)
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5

@@ -166,10 +166,71 @@ def fingerprint_batch(batch: pa.Table, k: int = 5) -> pa.Table:
     )
 
 
+def repetition_stats_batch(
+    batch: pa.Table,
+    max_top_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.3,
+) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of a doc's bigrams occupied by its most common bigram, and
+    the fraction of trigram occurrences belonging to trigrams that
+    appear more than once.  Boilerplate / spam / template text scores
+    high on both.  Vectorized: one flatten + pandas shift/groupby per
+    batch; docs with <2 (<3) tokens score 0.0.  ``repetitive`` applies
+    the published-threshold-shaped gate."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "top_bigram_frac": pa.array([], pa.float64()),
+         "dup_trigram_frac": pa.array([], pa.float64()),
+         "repetitive": pa.array([], pa.bool_())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    df = _tokens_frame(batch)
+    g = df.groupby("doc_id", sort=False)["token"]
+    df["nxt"] = g.shift(-1)
+    df["nxt2"] = g.shift(-2)
+
+    bg = df[df["nxt"].notna()]
+    bg_counts = (
+        pd.DataFrame({"doc_id": bg["doc_id"],
+                      "gram": bg["token"] + " " + bg["nxt"]})
+        .groupby(["doc_id", "gram"], sort=False).size()
+    )
+    per_doc = bg_counts.groupby(level=0)
+    top = (per_doc.max() / per_doc.sum()).rename("top_bigram_frac")
+
+    tg = df[df["nxt2"].notna()]
+    tg_counts = (
+        pd.DataFrame({"doc_id": tg["doc_id"],
+                      "gram": tg["token"] + " " + tg["nxt"]
+                              + " " + tg["nxt2"]})
+        .groupby(["doc_id", "gram"], sort=False).size()
+    )
+    dup_occ = tg_counts.where(tg_counts >= 2, 0).groupby(level=0).sum()
+    dup = (dup_occ / tg_counts.groupby(level=0).sum()) \
+        .rename("dup_trigram_frac")
+
+    ids = pd.Index(batch["doc_id"].to_pylist(), name="doc_id")
+    out = pd.DataFrame(index=ids).join(top).join(dup).fillna(0.0)
+    rep = ((out["top_bigram_frac"] > max_top_bigram_frac)
+           | (out["dup_trigram_frac"] > max_dup_trigram_frac))
+    return pa.table(
+        {"doc_id": pa.array(out.index.to_numpy(), pa.int64()),
+         "top_bigram_frac": pa.array(out["top_bigram_frac"], pa.float64()),
+         "dup_trigram_frac": pa.array(out["dup_trigram_frac"], pa.float64()),
+         "repetitive": pa.array(rep.to_numpy(), pa.bool_())}
+    )
+
+
 # -- Dataset-level wrappers -------------------------------------------------
 
 def token_stats(ds):
     return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def repetition_stats(ds):
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
 def quality_score(ds):

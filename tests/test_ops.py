@@ -36,6 +36,35 @@ def test_token_stats_batch():
     assert out["stopword_ratio"].to_pylist()[0] == pytest.approx(0.5)
 
 
+def test_repetition_stats_batch():
+    from openie_backend_ray.ops.textstats import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # "buy now" occupies 3 of 5 bigrams; "buy now buy"
+                    # and "now buy now" repeat -> both signals high
+                    "buy now buy now buy now",
+                    "a varied sentence with no repeated grams at all",
+                    "x",  # <2 tokens -> both fractions 0.0
+                ]
+            ),
+        }
+    )
+    out = repetition_stats_batch(t)
+    top = out["top_bigram_frac"].to_pylist()
+    dup = out["dup_trigram_frac"].to_pylist()
+    rep = out["repetitive"].to_pylist()
+    assert top[0] == pytest.approx(3 / 5)
+    assert dup[0] == pytest.approx(1.0)
+    assert rep == [True, False, False]
+    # all 8 bigrams distinct -> the max one still occupies 1/8
+    assert top[1] == pytest.approx(1 / 8)
+    assert dup[1] == top[2] == dup[2] == 0.0
+
+
 def test_fingerprint_matches_duplicate_texts():
     from openie_backend_ray.ops.textstats import fingerprint_batch
 
