@@ -279,6 +279,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), key="doc_id"
         )
 
+    def q_decontaminate(sf_dir: str):
+        """Benchmark decontamination: the eval side is the deterministic
+        doc_id % 37 == 0 split (a stand-in for a fixed benchmark suite);
+        its distinct 5-grams are broadcast and probed per training
+        batch. k=5 instead of the published 13 because fixture docs are
+        10-99 tokens."""
+        import ray
+        import pyarrow as pa
+        from openie_backend_ray.ops import curation as CU
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def split(keep_eval: bool):
+            def body(b):
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array((ids % 37 == 0) == keep_eval))
+            return body
+
+        grams = CU.collect_eval_grams(
+            docs.map_batches(split(True), batch_format="pyarrow"), k=5
+        )
+        return CU.decontaminate(
+            docs.map_batches(split(False), batch_format="pyarrow"),
+            ray.put(grams), k=5,
+        )
+
+    def q_pii_redact(sf_dir: str):
+        """PII scrub over docs enriched with deterministic doc_id-derived
+        contact strings (the sf word-salad has no digits; the enrichment
+        is the same synthesize-from-the-table idiom as media_spans, and
+        the oracle derives the identical strings in SQL)."""
+        import pyarrow as pa
+        from openie_backend_ray.ops import curation as CU
+
+        def enrich(b):
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            out = []
+            for i, t in zip(ids, b["text"].to_pylist()):
+                i = int(i)
+                if i % 7 == 0:
+                    t += " contact user" + str(i) + "@example.com"
+                if i % 5 == 0:
+                    t += (" call 555-" + str(100 + i % 900)
+                          + "-" + str(1000 + i % 9000))
+                if i % 11 == 0:
+                    t += (" from 10.0." + str(i % 256)
+                          + "." + str(1 + i % 254))
+                if i % 13 == 0:
+                    t += (" ssn " + str(100 + i % 900) + "-"
+                          + str(10 + i % 90) + "-" + str(1000 + i % 9000))
+                out.append(t)
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": pa.array(out, pa.string())})
+
+        return CU.pii_redact(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(enrich, batch_format="pyarrow")
+        )
+
+    def q_stratified_sample(sf_dir: str):
+        from openie_backend_ray.ops import curation as CU
+
+        return CU.stratified_sample(
+            _read(sf_dir, "documents", ["doc_id", "lang"]),
+            by="lang", target=50,
+        )
+
     def q_media_features(sf_dir: str):
         return MM.media_features(_interleaved_docs(sf_dir))
 
@@ -572,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_in_range": q_orders_in_range,
         "kmv_distinct_tokens": q_kmv_distinct_tokens,
         "hash_sample": q_hash_sample,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1030,6 +1100,109 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, text FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '4'
+        """,
+        # decontamination twin: distinct 5-grams per doc; eval split is
+        # doc_id % 37 = 0; LEFT JOIN + count(non-null) = is_in probe
+        "decontaminate": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(text, '\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')))
+                           AS grams
+                  FROM t),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram
+                   FROM g WHERE doc_id % 37 = 0),
+            tr AS (SELECT doc_id, unnest(grams) AS gram
+                   FROM g WHERE doc_id % 37 <> 0),
+            hits AS (SELECT tr.doc_id,
+                            count(*) AS n_grams,
+                            count(ev.gram) AS n_contaminated
+                     FROM tr LEFT JOIN ev USING (gram)
+                     GROUP BY tr.doc_id)
+            SELECT doc_id,
+                   CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_contaminated AS BIGINT) AS n_contaminated,
+                   CAST(n_contaminated AS DOUBLE) / n_grams
+                     AS contamination_frac,
+                   (CAST(n_contaminated AS DOUBLE) / n_grams >= 0.5)
+                     AS contaminated
+            FROM hits
+        """,
+        # PII twin: identical doc_id-derived enrichment, then the SAME
+        # RE2 patterns counted + replaced in the same sequence (pyarrow
+        # and DuckDB both embed RE2, so parity is byte-exact)
+        "pii_redact": r"""
+            WITH en AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' call 555-'
+                             || CAST(100 + doc_id % 900 AS VARCHAR)
+                             || '-'
+                             || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN ' from 10.0.'
+                             || CAST(doc_id % 256 AS VARCHAR) || '.'
+                             || CAST(1 + doc_id % 254 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                        THEN ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                             || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+                             || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                        ELSE '' END AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(t0,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                          )) AS BIGINT) AS n_email,
+                          regexp_replace(t0,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1
+                   FROM en),
+            s2 AS (SELECT doc_id, n_email,
+                          CAST(len(regexp_extract_all(t1,
+                            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'
+                          )) AS BIGINT) AS n_ssn,
+                          regexp_replace(t1,
+                            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                            '<SSN>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ssn,
+                          CAST(len(regexp_extract_all(t2,
+                            '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'
+                          )) AS BIGINT) AS n_phone,
+                          regexp_replace(t2,
+                            '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b',
+                            '<PHONE>', 'g') AS t3
+                   FROM s2),
+            s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+                          CAST(len(regexp_extract_all(t3,
+                            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'
+                          )) AS BIGINT) AS n_ip,
+                          regexp_replace(t3,
+                            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                            '<IP>', 'g') AS t4
+                   FROM s3)
+            SELECT doc_id, t4 AS clean_text,
+                   n_email, n_ssn, n_phone, n_ip
+            FROM s4
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, sample_rank FROM (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 50
         """,
         "simhash": f"""
             WITH {_SIMHASH_CTE}

@@ -1,0 +1,246 @@
+"""Training-data curation operators: benchmark decontamination, PII
+redaction, and stratified sampling over the flat ``documents`` table.
+
+These are the "beyond the reference" curation stages a 100-TB
+training-data pipeline needs (GPT-3 appendix C's 13-gram overlap
+decontamination, C4-style pattern scrubbing, per-language sampling).
+All three follow the repo's scale rules:
+
+- decontamination broadcasts the EVAL-side gram set (bounded: held-out
+  benchmark suites are fixed-size by definition, megabytes not
+  terabytes) and probes it per batch with ``pyarrow.compute.is_in`` —
+  the 100-TB training side streams, nothing materializes it;
+- redaction is pure vectorized RE2 (``pc.replace_substring_regex`` /
+  ``pc.count_substring_regex``); pyarrow and DuckDB both embed RE2, so
+  the DuckDB oracle matches byte-for-byte, not just approximately;
+- stratified sampling is the ``top_parts`` local-top-k shape: per-batch
+  per-bucket partial top-k, then one small per-bucket reduce — the
+  shuffle moves at most ``target x buckets x blocks`` rows, never the
+  corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram collision against a held-out set)
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 13  # published default (GPT-3 appendix C); tests use k=5
+                 # because fixture docs are 10-99 tokens long
+
+
+def _distinct_grams_frame(batch: pa.Table, k: int) -> pd.DataFrame:
+    """(doc_id, gram) frame of each doc's DISTINCT k-token grams —
+    built with one flatten + (k-1) pandas group-shifts, no per-row
+    Python loop. Docs shorter than k tokens contribute no rows."""
+    toks = pc.split_pattern_regex(batch["text"], r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    df = pd.DataFrame(
+        {"doc_id": pc.take(batch["doc_id"], parents)
+                     .to_numpy(zero_copy_only=False),
+         "gram": flat.to_pandas()}
+    )
+    g = df.groupby("doc_id", sort=False)["gram"]
+    for i in range(1, k):
+        df["gram"] = df["gram"] + " " + g.shift(-i)
+        # NOTE: shift() reads the ORIGINAL column via the cached
+        # groupby view `g`, so successive += lines append token i, not
+        # already-joined grams.
+    df = df[df["gram"].notna()]
+    return df.drop_duplicates(["doc_id", "gram"])
+
+
+def collect_eval_grams(eval_ds, k: int = DECONTAM_K) -> pa.Array:
+    """Distinct k-gram inventory of the EVAL set, as one Arrow string
+    array ready for ``ray.put``. The eval side of decontamination is a
+    fixed benchmark suite — bounded, so the driver-side materialization
+    here is O(benchmark), never O(corpus)."""
+    parts = eval_ds.map_batches(
+        lambda b: pa.table(
+            {"gram": pa.array(
+                _distinct_grams_frame(b, k)["gram"].unique(), pa.string()
+            )}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    grams = sorted({r["gram"] for r in parts})
+    return pa.array(grams, pa.string())
+
+
+class Decontaminator:
+    """Per-batch decontamination probe: fraction of a doc's distinct
+    k-grams that collide with the broadcast eval-gram set. Actor-pool
+    friendly: the gram array is fetched from the object store once per
+    actor in ``__init__`` (zero-copy), not per batch."""
+
+    def __init__(self, eval_grams_ref, k: int = DECONTAM_K,
+                 threshold: float = 0.5):
+        import ray
+
+        self.eval_grams = ray.get(eval_grams_ref)
+        self.k = k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_grams": pa.array([], pa.int64()),
+             "n_contaminated": pa.array([], pa.int64()),
+             "contamination_frac": pa.array([], pa.float64()),
+             "contaminated": pa.array([], pa.bool_())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        df = _distinct_grams_frame(batch, self.k)
+        if not len(df):
+            return empty
+        hit = pc.is_in(pa.array(df["gram"], pa.string()),
+                       value_set=self.eval_grams)
+        df = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                           "hit": hit.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("doc_id", sort=False).agg(
+            n_grams=("hit", "size"), n_contaminated=("hit", "sum")
+        ).reset_index()
+        # single int/int IEEE division — bit-identical to DuckDB
+        frac = agg["n_contaminated"] / agg["n_grams"]
+        return pa.table(
+            {"doc_id": pa.array(agg["doc_id"], pa.int64()),
+             "n_grams": pa.array(agg["n_grams"], pa.int64()),
+             "n_contaminated": pa.array(agg["n_contaminated"], pa.int64()),
+             "contamination_frac": pa.array(frac, pa.float64()),
+             "contaminated": pa.array(frac >= self.threshold, pa.bool_())}
+        )
+
+
+def decontaminate(train_ds, eval_grams_ref, k: int = DECONTAM_K,
+                  threshold: float = 0.5, concurrency=None):
+    """Flag training docs whose distinct-k-gram overlap with the eval
+    set is >= ``threshold``. Docs with fewer than k tokens emit no row
+    (they have no k-grams to test — mirrored by the oracle).
+
+    Scale shape: map-only over the training stream; the only shared
+    state is the broadcast eval-gram array read once per actor. The
+    pool is budgeted (0.5 of the cluster) so upstream read/filter
+    tasks keep CPUs — a full-cluster fixed pool deadlocks small
+    clusters (see util.auto_pool)."""
+    from openie_backend_ray.util import actor_cpus, auto_pool
+
+    return train_ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs={"eval_grams_ref": eval_grams_ref, "k": k,
+                               "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_pool(0.5),
+        num_cpus=actor_cpus(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4-style pattern scrubbing)
+# ---------------------------------------------------------------------------
+
+# Order matters: each pattern is counted on, then replaced in, the text
+# produced by the previous step (the oracle nests regexp_replace the
+# same way). pyarrow's regex engine is RE2 and so is DuckDB's, so both
+# engines see literally the same automaton.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+     "<IP>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized RE2 scrub: per doc, count then replace each PII
+    pattern in sequence. No Python touches the strings."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {"doc_id": batch["doc_id"]}
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = pc.cast(
+            pc.count_substring_regex(text, pat), pa.int64()
+        )
+        text = pc.replace_substring_regex(text, pat, repl)
+    cols["clean_text"] = text
+    for name, _, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = counts[name]
+    return pa.table(cols)
+
+
+def pii_redact(ds):
+    return ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (equal allocation per bucket, deterministic)
+# ---------------------------------------------------------------------------
+
+def _md5_of_ids(ids) -> np.ndarray:
+    return np.array(
+        [hashlib.md5(str(v).encode()).hexdigest() for v in ids],
+        dtype=object,
+    )
+
+
+def stratified_sample(ds, by: str = "lang", key: str = "doc_id",
+                      target: int = 50):
+    """Deterministic stratified sample: per ``by``-bucket, keep the
+    ``target`` rows with the smallest md5(key) (ties on key). Equal
+    allocation across buckets regardless of skew — the md5 order is a
+    reproducible uniform permutation, so this is Bernoulli-quality
+    sampling with an exact per-bucket count.
+
+    Scale shape (the ``top_parts`` pattern): per-batch per-bucket
+    partial top-k first, so the single ``groupby(by)`` shuffle moves at
+    most ``target x buckets`` rows per block, never the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {by: pa.array([], pa.string()),
+                 key: pa.array([], pa.int64()),
+                 "h": pa.array([], pa.string())}
+            )
+        df = pd.DataFrame(
+            {by: batch[by].to_pandas(),
+             key: batch[key].to_numpy(zero_copy_only=False)}
+        )
+        df["h"] = _md5_of_ids(df[key])
+        df = (df.sort_values(["h", key], kind="mergesort")
+                .groupby(by, sort=False).head(target))
+        return pa.table(
+            {by: pa.array(df[by], pa.string()),
+             key: pa.array(df[key], pa.int64()),
+             "h": pa.array(df["h"], pa.string())}
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("h", "ascending"), (key, "ascending")]
+        )
+        t = g.take(idx.slice(0, target))
+        return pa.table(
+            {by: t[by], key: t[key],
+             "sample_rank": pa.array(
+                 np.arange(1, t.num_rows + 1), pa.int64()
+             )}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(final, batch_format="pyarrow")
+    )

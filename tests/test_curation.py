@@ -1,0 +1,159 @@
+"""Curation ops: PII redaction precision cases, decontamination gram
+math, stratified-sample allocation — plus the driver-style oracle
+parity spot checks at sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch(ids, texts):
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+# -- PII redaction ----------------------------------------------------------
+
+def test_pii_redact_each_kind():
+    from openie_backend_ray.ops.curation import pii_redact_batch
+
+    out = pii_redact_batch(_batch(
+        [1, 2, 3, 4],
+        ["mail me at jane.doe+spam@sub.example.co.uk today",
+         "ssn 123-45-6789 phone 555-867-5309",
+         "server 192.168.0.1 and 10.0.255.254",
+         "no pii here at all"],
+    ))
+    assert out["clean_text"].to_pylist() == [
+        "mail me at <EMAIL> today",
+        "ssn <SSN> phone <PHONE>",
+        "server <IP> and <IP>",
+        "no pii here at all",
+    ]
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ssn"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 0, 2, 0]
+
+
+def test_pii_redact_negatives_untouched():
+    """Near-miss shapes must NOT be redacted: 2-digit ssn middle group
+    on a phone, version-ish dotted numbers with too many groups, bare
+    @ without a domain TLD."""
+    from openie_backend_ray.ops.curation import pii_redact_batch
+
+    texts = ["order 12-34-5678 ref 1234-567-8901",
+             "version 1.2.3.4.5 is out",
+             "tweet @handle now"]
+    out = pii_redact_batch(_batch([1, 2, 3], texts))
+    # Known false-positive of the C4-style pattern, pinned here so a
+    # change is noticed: "1.2.3.4.5" DOES redact its leading "1.2.3.4"
+    # (\b holds at the digit/dot boundary) — same behavior in DuckDB.
+    assert out["clean_text"].to_pylist()[1] == "version <IP>.5 is out"
+    assert out["clean_text"].to_pylist()[0] == texts[0]
+    assert out["clean_text"].to_pylist()[2] == texts[2]
+    assert sum(out["n_email"].to_pylist()) == 0
+    assert sum(out["n_ssn"].to_pylist()) == 0
+    assert sum(out["n_phone"].to_pylist()) == 0
+
+
+# -- decontamination --------------------------------------------------------
+
+def test_decontaminate_gram_math(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.curation import (
+        Decontaminator, collect_eval_grams,
+    )
+
+    eval_ds = ray.data.from_arrow(
+        _batch([100], ["a b c d e f"])  # 5-grams: "a b c d e", "b c d e f"
+    )
+    grams = collect_eval_grams(eval_ds, k=5)
+    assert grams.to_pylist() == ["a b c d e", "b c d e f"]
+
+    probe = Decontaminator(ray.put(grams), k=5, threshold=0.5)
+    out = probe(_batch(
+        [1, 2, 3],
+        ["a b c d e x y z v w",   # 6 grams, 1 hit -> frac 1/6
+         "a b c d e f",           # 2 grams, 2 hits -> contaminated
+         "q r s t"],              # < 5 tokens -> no row
+    ))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_grams"] == 6 and rows[1]["n_contaminated"] == 1
+    assert not rows[1]["contaminated"]
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_contaminated"] == 2
+    assert rows[2]["contaminated"]
+
+
+def test_decontaminate_distinct_grams():
+    """Repeated grams count once: the frac is over DISTINCT grams."""
+    import ray
+
+    from openie_backend_ray.ops.curation import Decontaminator
+
+    probe = Decontaminator(
+        ray.put(pa.array(["a a a a a"], pa.string())), k=5, threshold=0.5
+    )
+    out = probe(_batch([7], ["a a a a a a a a"]))  # 4 occurrences, 1 distinct
+    row = out.to_pylist()[0]
+    assert row["n_grams"] == 1 and row["n_contaminated"] == 1
+
+
+# -- stratified sampling ----------------------------------------------------
+
+def test_stratified_sample_allocation(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.curation import stratified_sample
+
+    n = 400
+    t = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "lang": pa.array(
+             ["en"] * 300 + ["de"] * 95 + ["fr"] * 5, pa.string())}
+    )
+    out = stratified_sample(
+        ray.data.from_arrow(t).repartition(7), by="lang", target=20
+    ).to_pandas()
+    counts = out.groupby("lang")["doc_id"].count().to_dict()
+    # equal allocation, capped by bucket size
+    assert counts == {"en": 20, "de": 20, "fr": 5}
+    assert set(out["sample_rank"]) <= set(range(1, 21))
+
+    # deterministic: the kept ids are the target smallest by md5(id)
+    en_ids = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in range(300)
+    )[:20]
+    got_en = sorted(out[out["lang"] == "en"]["doc_id"])
+    assert got_en == sorted(i for _, i in en_ids)
+
+
+# -- driver-style oracle parity --------------------------------------------
+
+@pytest.mark.parametrize(
+    "name", ["decontaminate", "pii_redact", "stratified_sample"]
+)
+def test_curation_oracle_parity(ray_session, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    got = E.queries()[name](SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(E.oracle_sql()[name]).df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].astype(str)
+    w = want[sorted(want.columns)].astype(str)
+    assert (sorted(map(tuple, g.itertuples(index=False, name=None)))
+            == sorted(map(tuple, w.itertuples(index=False, name=None))))
