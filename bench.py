@@ -160,6 +160,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "pricing_summary", "segment_revenue", "top_parts",
         "events_daily", "events_sessions", "asof_orders",
         "orders_in_range", "kmv_distinct_tokens",
+        "decontaminate", "pii_redact", "stratified_sample",
         "media_features", "extreme_filter",
         "regroup", "type_predictions", "clean_corpus",
         "fuzzy_components",

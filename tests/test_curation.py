@@ -135,6 +135,15 @@ def test_stratified_sample_allocation(ray_session):
     got_en = sorted(out[out["lang"] == "en"]["doc_id"])
     assert got_en == sorted(i for _, i in en_ids)
 
+    # the many-bucket (groupby) tail is result-identical
+    out_b = stratified_sample(
+        ray.data.from_arrow(t).repartition(7), by="lang", target=20,
+        bucketed=True,
+    ).to_pandas()
+    key = ["lang", "doc_id", "sample_rank"]
+    assert (out_b[key].sort_values(key).reset_index(drop=True)
+            .equals(out[key].sort_values(key).reset_index(drop=True)))
+
 
 # -- driver-style oracle parity --------------------------------------------
 
