@@ -346,6 +346,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="lang", target=50,
         )
 
+    def q_pack_sequences(sf_dir: str):
+        from openie_backend_ray.ops import curation as CU
+
+        return CU.pack_sequences(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            budget=2048, bucket_range=256,
+        )
+
+    def q_source_mix(sf_dir: str):
+        from openie_backend_ray.ops import curation as CU
+
+        return CU.source_mix(
+            _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        )
+
     def q_media_features(sf_dir: str):
         return MM.media_features(_interleaved_docs(sf_dir))
 
@@ -642,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "source_mix": q_source_mix,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1203,6 +1220,40 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS sample_rank
               FROM documents)
             WHERE sample_rank <= 50
+        """,
+        # concat-and-chop packing twin: the distributed prefix sum is a
+        # window sum in SQL (ints end-to-end, no FP divergence)
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(text, '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS rb
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(rb // 2048 AS BIGINT) AS seq_id,
+                   CAST(rb % 2048 AS BIGINT) AS offset_in_seq
+            FROM r
+        """,
+        "source_mix": r"""
+            WITH s AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(regexp_split_to_array(text, '\s+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source)
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()
+                     AS doc_share,
+                   CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+                     AS token_share
+            FROM s
         """,
         "simhash": f"""
             WITH {_SIMHASH_CTE}

@@ -251,3 +251,137 @@ def stratified_sample(ds, by: str = "lang", key: str = "doc_id",
     return parts.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chop) via a distributed prefix sum
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, budget: int = 2048, bucket_range: int = 256):
+    """Assign each doc its position in the GPT-style packed training
+    stream: concatenate docs in doc_id order and chop into
+    ``budget``-token sequences; a doc belongs to the sequence where it
+    starts (``seq_id``) at ``offset_in_seq``.
+
+    The global running-token-count is a prefix sum — which Ray Data has
+    no native operator for — computed scalably in two passes:
+
+    1. bucket docs by ``doc_id // bucket_range`` and sum tokens per
+       bucket (a SMALL aggregate: corpus_size / bucket_range rows —
+       pick bucket_range so that's ~10^4 rows even at 10^12 docs);
+       the driver turns it into exclusive per-bucket offsets
+       (O(#buckets), bounded by construction) and broadcasts them;
+    2. one ``groupby(bucket)`` shuffle; each reducer sorts its bucket
+       by doc_id, takes a local cumsum, and adds the broadcast bucket
+       offset. Buckets are doc_id ranges, so the shuffle is balanced
+       by construction — no hot key.
+
+    Deterministic (pure function of the doc_id -> n_tokens map) and
+    SQL-twinned with a window sum in the oracle."""
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        ids = batch["doc_id"]
+        return pa.table(
+            {"doc_id": ids,
+             "n_tokens": n,
+             "bucket": pc.cast(
+                 pc.divide(ids, pa.scalar(bucket_range, pa.int64())),
+                 pa.int64(),
+             )}
+        )
+
+    with_counts = ds.map_batches(counts, batch_format="pyarrow")
+
+    # pass 1: tiny per-bucket totals -> exclusive prefix on the driver.
+    # Per-batch combiner first, so the groupby shuffle moves at most
+    # #buckets rows per block. (Both passes re-tokenize — at real scale
+    # you'd checkpoint the (doc_id, n_tokens) table to parquet between
+    # passes instead of pinning it in memory.)
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"bucket": b["bucket"], "n_tokens": b["n_tokens"]})
+        g = t.group_by("bucket").aggregate([("n_tokens", "sum")])
+        return pa.table(
+            {"bucket": g["bucket"],
+             "n_tokens": pc.cast(g["n_tokens_sum"], pa.int64())}
+        )
+
+    bucket_sums = (
+        with_counts.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket").sum("n_tokens").take_all()
+    )
+    bucket_sums.sort(key=lambda r: r["bucket"])
+    offsets, running = {}, 0
+    for r in bucket_sums:
+        offsets[r["bucket"]] = running
+        running += r["sum(n_tokens)"]
+    off_ref = ray.put(offsets)
+
+    # pass 2: per-bucket local cumsum + broadcast offset
+    def assign(g: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        t = g.take(idx)
+        n = t["n_tokens"].to_numpy()
+        before = np.cumsum(n) - n + offs[t["bucket"][0].as_py()]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_tokens": t["n_tokens"],
+             "seq_id": pa.array(before // budget, pa.int64()),
+             "offset_in_seq": pa.array(before % budget, pa.int64())}
+        )
+
+    return with_counts.groupby("bucket").map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# source mixture stats (what share of the corpus each source supplies)
+# ---------------------------------------------------------------------------
+
+def source_mix(ds):
+    """Per-source doc count, token sum and corpus share — the mixture
+    table a resampling step (DoReMi-style reweighting) starts from.
+    Partial-aggregated per batch before ONE tiny groupby(source);
+    shares are int/int IEEE divisions against broadcast-free totals
+    computed in a final single-block reduce."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(),
+             "n_tokens": pc.list_value_length(toks).to_numpy()}
+        )
+        agg = df.groupby("source", sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        return pa.table(
+            {"source": pa.array(agg["source"], pa.string()),
+             "n_docs": pa.array(agg["n_docs"], pa.int64()),
+             "n_tokens": pa.array(agg["n_tokens"], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "n_tokens"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        docs = b["sum(n_docs)"].to_numpy()
+        toks = b["sum(n_tokens)"].to_numpy()
+        return pa.table(
+            {"source": b["source"],
+             "n_docs": pa.array(docs, pa.int64()),
+             "n_tokens": pa.array(toks, pa.int64()),
+             "doc_share": pa.array(docs / docs.sum(), pa.float64()),
+             "token_share": pa.array(toks / toks.sum(), pa.float64())}
+        )
+
+    # sources are a handful of rows post-aggregation: one-block reduce
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

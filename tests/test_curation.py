@@ -145,10 +145,58 @@ def test_stratified_sample_allocation(ray_session):
             .equals(out[key].sort_values(key).reset_index(drop=True)))
 
 
+# -- sequence packing -------------------------------------------------------
+
+def test_pack_sequences_prefix_sum(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.curation import pack_sequences
+
+    n = 100
+    texts = ["tok " * ((i % 7) + 1) for i in range(n)]  # 1..7 tokens
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array([s.strip() for s in texts])})
+    out = pack_sequences(
+        ray.data.from_arrow(t).repartition(9), budget=10, bucket_range=8
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # serial reference: exclusive running sum, chop at 10
+    running = 0
+    for i in range(n):
+        nt = (i % 7) + 1
+        assert out.loc[i, "n_tokens"] == nt
+        assert out.loc[i, "seq_id"] == running // 10
+        assert out.loc[i, "offset_in_seq"] == running % 10
+        running += nt
+
+    # partition-count invariance
+    out2 = pack_sequences(
+        ray.data.from_arrow(t).repartition(2), budget=10, bucket_range=8
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(out2)
+
+
+def test_source_mix_shares(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.curation import source_mix
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b", "c", "d e f"]),
+                  "source": pa.array(["web", "web", "book"])})
+    out = source_mix(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    m = out.set_index("source")
+    assert m.loc["web", "n_docs"] == 2 and m.loc["web", "n_tokens"] == 3
+    assert m.loc["book", "n_tokens"] == 3
+    assert abs(out["doc_share"].sum() - 1.0) < 1e-12
+    assert abs(out["token_share"].sum() - 1.0) < 1e-12
+
+
 # -- driver-style oracle parity --------------------------------------------
 
 @pytest.mark.parametrize(
-    "name", ["decontaminate", "pii_redact", "stratified_sample"]
+    "name", ["decontaminate", "pii_redact", "stratified_sample",
+             "pack_sequences", "source_mix"]
 )
 def test_curation_oracle_parity(ray_session, name):
     import sys
