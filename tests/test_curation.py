@@ -63,6 +63,24 @@ def test_pii_redact_negatives_untouched():
     assert sum(out["n_phone"].to_pylist()) == 0
 
 
+def test_pii_redact_idempotent():
+    """Replacement tokens contain no redactable shapes: a second pass
+    finds zero matches and changes nothing."""
+    from openie_backend_ray.ops.curation import pii_redact_batch
+
+    once = pii_redact_batch(_batch(
+        [1, 2],
+        ["jane@ex.com 123-45-6789 555-867-5309 10.0.0.1",
+         "plain text"],
+    ))
+    again = pii_redact_batch(pa.table(
+        {"doc_id": once["doc_id"], "text": once["clean_text"]}
+    ))
+    assert again["clean_text"].to_pylist() == once["clean_text"].to_pylist()
+    for kind in ("email", "ssn", "phone", "ip"):
+        assert sum(again[f"n_{kind}"].to_pylist()) == 0
+
+
 # -- decontamination --------------------------------------------------------
 
 def test_decontaminate_gram_math(ray_session):
