@@ -193,6 +193,15 @@ def test_pack_sequences_prefix_sum(ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out.equals(out2)
 
+    # bucket_range is an internal partitioning knob: any value yields
+    # the identical packing
+    for br in (1, 3, 1000):
+        out3 = pack_sequences(
+            ray.data.from_arrow(t).repartition(5), budget=10,
+            bucket_range=br,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out.equals(out3), br
+
 
 def test_source_mix_shares(ray_session):
     import ray
