@@ -155,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"])
         )
 
+    def q_bpe_token_stats(sf_dir: str):
+        return TS.bpe_token_stats(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
     def q_dedup_exact(sf_dir: str):
         return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -634,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": q_top_tokens,
         "vocab_stats": q_vocab_stats,
         "repetition_stats": q_repetition_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -867,6 +873,22 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN btop b USING (doc_id)
             LEFT JOIN tdup d USING (doc_id)
+        """,
+        # BPE pre-tokenizer twin: same RE2 pattern, apostrophes doubled
+        # for the SQL literal (see ops.textstats.BPE_PRETOKEN_RE)
+        "bpe_token_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(text, '\s+'))
+                          AS BIGINT) AS n_words,
+                     CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'
+                     )) AS BIGINT) AS n_bpe_pieces
+              FROM documents)
+            SELECT doc_id, n_words, n_bpe_pieces,
+                   CAST(n_bpe_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     AS pieces_per_word
+            FROM t
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS text_md5

@@ -223,6 +223,49 @@ def repetition_stats_batch(
     )
 
 
+# GPT-2-style BPE pre-tokenizer, restricted to RE2 syntax (both pyarrow
+# and DuckDB embed RE2, so the oracle twin is byte-exact). The original
+# pattern's trailing-whitespace lookahead `\s+(?!\S)` is not RE2-visible;
+# this variant merges it into the plain `\s+` branch — for counting
+# purposes the piece totals differ only on runs of trailing whitespace.
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc BPE-pretokenizer piece count next to the whitespace word
+    count — the cheap `how many tokens will the tokenizer see` estimate
+    a training-data budget works from (the merge step only shrinks the
+    piece count, so this is an upper bound per doc)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_words": pa.array([], pa.int64()),
+             "n_bpe_pieces": pa.array([], pa.int64()),
+             "pieces_per_word": pa.array([], pa.float64())}
+        )
+    words = pc.cast(
+        pc.list_value_length(
+            pc.split_pattern_regex(batch["text"], r"\s+")
+        ),
+        pa.int64(),
+    )
+    pieces = pc.cast(
+        pc.count_substring_regex(batch["text"], BPE_PRETOKEN_RE),
+        pa.int64(),
+    )
+    ratio = pc.divide(pc.cast(pieces, pa.float64()),
+                      pc.cast(words, pa.float64()))
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "n_words": words,
+         "n_bpe_pieces": pieces,
+         "pieces_per_word": ratio}
+    )
+
+
 # -- Dataset-level wrappers -------------------------------------------------
 
 def token_stats(ds):
@@ -231,6 +274,10 @@ def token_stats(ds):
 
 def repetition_stats(ds):
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def bpe_token_stats(ds):
+    return ds.map_batches(bpe_token_stats_batch, batch_format="pyarrow")
 
 
 def quality_score(ds):

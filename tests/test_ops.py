@@ -65,6 +65,21 @@ def test_repetition_stats_batch():
     assert dup[1] == top[2] == dup[2] == 0.0
 
 
+def test_bpe_token_stats_pieces():
+    from openie_backend_ray.ops.textstats import bpe_token_stats_batch
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["it's a well-known fact", "abc123 x"])}
+    )
+    out = bpe_token_stats_batch(t)
+    # "it"+"'s"+" a"+" well"+"-"+"known"+" fact" = 7 pieces, 4 words;
+    # "abc"+"123"+" x" = 3 (leading spaces fold into the next piece)
+    assert out["n_words"].to_pylist() == [4, 2]
+    assert out["n_bpe_pieces"].to_pylist() == [7, 3]
+    assert out["pieces_per_word"].to_pylist()[0] == 7 / 4
+
+
 def test_fingerprint_matches_duplicate_texts():
     from openie_backend_ray.ops.textstats import fingerprint_batch
 
