@@ -351,6 +351,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="lang", target=50,
         )
 
+    def q_dup_ngram_coverage(sf_dir: str):
+        from openie_backend_ray.ops import curation as CU
+
+        return CU.dup_ngram_coverage(
+            _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+        )
+
     def q_pack_sequences(sf_dir: str):
         from openie_backend_ray.ops import curation as CU
 
@@ -665,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "source_mix": q_source_mix,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1242,6 +1250,32 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS sample_rank
               FROM documents)
             WHERE sample_rank <= 50
+        """,
+        # duplicate-gram coverage twin: occurrence counts per (doc,
+        # gram), gram multiplicity via a self-aggregate, per-doc sums
+        "dup_ngram_coverage": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(text, '\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(
+                           range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i:i+4], ' ')))
+                           AS gram
+                  FROM t),
+            oc AS (SELECT doc_id, gram, count(*) AS n_occ
+                   FROM g GROUP BY doc_id, gram),
+            gd AS (SELECT gram, count(*) AS n_docs
+                   FROM oc GROUP BY gram)
+            SELECT oc.doc_id,
+                   CAST(sum(oc.n_occ) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN gd.n_docs > 1 THEN oc.n_occ
+                                 ELSE 0 END) AS BIGINT) AS dup_grams,
+                   CAST(sum(CASE WHEN gd.n_docs > 1 THEN oc.n_occ
+                                 ELSE 0 END) AS DOUBLE)
+                     / sum(oc.n_occ) AS dup_frac
+            FROM oc JOIN gd USING (gram)
+            GROUP BY oc.doc_id
         """,
         # concat-and-chop packing twin: the distributed prefix sum is a
         # window sum in SQL (ints end-to-end, no FP divergence)

@@ -254,6 +254,86 @@ def stratified_sample(ds, by: str = "lang", key: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicate-n-gram coverage (Lee et al. 2022 signal)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_coverage(ds, k: int = 5):
+    """Per doc: the fraction of its k-gram OCCURRENCES whose gram also
+    appears in at least one other doc ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022 — the substring-dup
+    signal, at gram granularity). Docs with < k tokens emit no row.
+
+    Scale shape: the duplicated-gram set is O(corpus grams), far too
+    big to broadcast (unlike decontaminate's bounded eval set), so
+    multiplicity attaches via ONE ``groupby(gram)`` co-group — each
+    gram's reducer sees one (doc, n_occ) row per containing doc and
+    emits them annotated — followed by a per-doc sum with a map-side
+    Arrow combiner. Nothing materializes the gram table."""
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        df = pd.DataFrame(
+            {"doc_id": pc.take(batch["doc_id"], parents)
+                         .to_numpy(zero_copy_only=False),
+             "gram": flat.to_pandas()}
+        )
+        g = df.groupby("doc_id", sort=False)["gram"]
+        for i in range(1, k):
+            df["gram"] = df["gram"] + " " + g.shift(-i)
+        df = df[df["gram"].notna()]
+        oc = (df.groupby(["doc_id", "gram"], sort=False).size()
+                .rename("n_occ").reset_index())
+        return pa.table(
+            {"doc_id": pa.array(oc["doc_id"], pa.int64()),
+             "gram": pa.array(oc["gram"], pa.string()),
+             "n_occ": pa.array(oc["n_occ"], pa.int64())}
+        )
+
+    def attach_multiplicity(g: pa.Table) -> pa.Table:
+        # one row per containing doc -> n_docs == group height
+        dup = g.num_rows > 1
+        n = g["n_occ"]
+        return pa.table(
+            {"doc_id": g["doc_id"],
+             "occ": n,
+             "dup_occ": n if dup
+             else pa.array([0] * g.num_rows, pa.int64())}
+        )
+
+    def per_doc_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("doc_id").aggregate(
+            [("occ", "sum"), ("dup_occ", "sum")]
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "occ": pc.cast(t["occ_sum"], pa.int64()),
+             "dup_occ": pc.cast(t["dup_occ_sum"], pa.int64())}
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        occ = b["sum(occ)"].to_numpy()
+        dup = b["sum(dup_occ)"].to_numpy()
+        return pa.table(
+            {"doc_id": b["doc_id"],
+             "n_grams": pa.array(occ, pa.int64()),
+             "dup_grams": pa.array(dup, pa.int64()),
+             "dup_frac": pa.array(dup / occ, pa.float64())}
+        )
+
+    return (
+        ds.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(attach_multiplicity, batch_format="pyarrow")
+        .map_batches(per_doc_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["occ", "dup_occ"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing (concat-and-chop) via a distributed prefix sum
 # ---------------------------------------------------------------------------
 

@@ -125,6 +125,36 @@ def test_decontaminate_distinct_grams():
     assert row["n_grams"] == 1 and row["n_contaminated"] == 1
 
 
+def test_dup_ngram_coverage_semantics(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.curation import dup_ngram_coverage
+
+    t = _batch(
+        [1, 2, 3],
+        ["a b c d e f",      # shares "a b c d e"/"b c d e f" with doc 2
+         "a b c d e f",      # exact dup of doc 1
+         "q r s t u v w"],   # unique
+    )
+    out = dup_ngram_coverage(
+        ray.data.from_arrow(t).repartition(3), k=5
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "dup_grams"] == 2
+    assert out.loc[1, "dup_frac"] == 1.0
+    assert out.loc[2, "dup_frac"] == 1.0
+    assert out.loc[3, "n_grams"] == 3 and out.loc[3, "dup_grams"] == 0
+
+    # repeats WITHIN one doc don't count as cross-doc duplication, but
+    # every occurrence counts once its gram is shared
+    t2 = _batch([7, 8], ["x y z w v x y z w v", "x y z w v"])
+    out2 = dup_ngram_coverage(
+        ray.data.from_arrow(t2), k=5
+    ).to_pandas().set_index("doc_id")
+    # doc 7: 6 occurrences; grams "x y z w v" (x2) shared with doc 8
+    assert out2.loc[7, "n_grams"] == 6 and out2.loc[7, "dup_grams"] == 2
+    assert out2.loc[8, "dup_frac"] == 1.0
+
+
 # -- stratified sampling ----------------------------------------------------
 
 def test_stratified_sample_allocation(ray_session):
