@@ -265,10 +265,15 @@ def dup_ngram_coverage(ds, k: int = 5):
 
     Scale shape: the duplicated-gram set is O(corpus grams), far too
     big to broadcast (unlike decontaminate's bounded eval set), so
-    multiplicity attaches via ONE ``groupby(gram)`` co-group — each
-    gram's reducer sees one (doc, n_occ) row per containing doc and
-    emits them annotated — followed by a per-doc sum with a map-side
-    Arrow combiner. Nothing materializes the gram table."""
+    multiplicity attaches via ONE gram-hash-partitioned co-group: all
+    rows of a gram land in the same hash partition (deterministic
+    ``pd.util.hash_array``), and each PARTITION — not each gram — is
+    one vectorized pandas ``transform('size')`` call (per-gram
+    ``map_groups`` measured ~6 s at sf0.1 purely on 250k tiny Python
+    invocations; the components.py partition pattern). Then a per-doc
+    sum with a map-side Arrow combiner. Nothing materializes the gram
+    table."""
+    npart = 64
 
     def occurrences(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch["text"], r"\s+")
@@ -285,21 +290,31 @@ def dup_ngram_coverage(ds, k: int = 5):
         df = df[df["gram"].notna()]
         oc = (df.groupby(["doc_id", "gram"], sort=False).size()
                 .rename("n_occ").reset_index())
+        part = pd.util.hash_array(
+            oc["gram"].to_numpy(dtype=object)
+        ) % npart
         return pa.table(
             {"doc_id": pa.array(oc["doc_id"], pa.int64()),
              "gram": pa.array(oc["gram"], pa.string()),
-             "n_occ": pa.array(oc["n_occ"], pa.int64())}
+             "n_occ": pa.array(oc["n_occ"], pa.int64()),
+             "part": pa.array(part.astype("int64"), pa.int64())}
         )
 
     def attach_multiplicity(g: pa.Table) -> pa.Table:
-        # one row per containing doc -> n_docs == group height
-        dup = g.num_rows > 1
-        n = g["n_occ"]
+        # whole hash partition at once: rows are unique per (doc,
+        # gram), so per-gram row count == n_docs containing the gram
+        df = pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+             "gram": g["gram"].to_pandas(),
+             "n_occ": g["n_occ"].to_numpy(zero_copy_only=False)}
+        )
+        n_docs = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        dup = (n_docs > 1).to_numpy()
         return pa.table(
-            {"doc_id": g["doc_id"],
-             "occ": n,
-             "dup_occ": n if dup
-             else pa.array([0] * g.num_rows, pa.int64())}
+            {"doc_id": pa.array(df["doc_id"], pa.int64()),
+             "occ": pa.array(df["n_occ"], pa.int64()),
+             "dup_occ": pa.array(
+                 df["n_occ"].to_numpy() * dup, pa.int64())}
         )
 
     def per_doc_partial(b: pa.Table) -> pa.Table:
@@ -324,7 +339,7 @@ def dup_ngram_coverage(ds, k: int = 5):
 
     return (
         ds.map_batches(occurrences, batch_format="pyarrow")
-        .groupby("gram")
+        .groupby("part")
         .map_groups(attach_multiplicity, batch_format="pyarrow")
         .map_batches(per_doc_partial, batch_format="pyarrow")
         .groupby("doc_id")
