@@ -121,6 +121,45 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
                      "doc_b": pa.array(ids[1:], pa.int64())})
 
 
+_BUCKET_NPART = 64
+
+
+def _with_bucket_part(b: pa.Table) -> pa.Table:
+    """Deterministic hash partition on the bucket value (siphash via
+    ``pd.util.hash_array``, identical on every worker).  Grouping by
+    this partition instead of the raw (band, bucket) key turns ~one
+    Python ``map_groups`` call per BUCKET (40k+ tiny calls at sf0.1)
+    into one vectorized pandas call per PARTITION; each partition
+    still holds every row of each of its buckets, so the per-bucket
+    logic inside is exact."""
+    import pandas as pd
+
+    part = pd.util.hash_array(
+        b["bucket"].to_pandas().to_numpy(dtype=object)
+    ) % _BUCKET_NPART
+    return b.append_column("part", pa.array(part.astype("int64")))
+
+
+def _bucket_pairs_part(g: pa.Table) -> pa.Table:
+    """All buckets of one hash partition at once: chain pairs via a
+    grouped shift over the sorted distinct (band, bucket, doc_id)
+    rows — semantics identical to ``_bucket_pairs`` per bucket."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"band": g["band"].to_numpy(zero_copy_only=False),
+         "bucket": g["bucket"].to_pandas(),
+         "doc_id": g["doc_id"].to_numpy(zero_copy_only=False)}
+    ).drop_duplicates()
+    df = df.sort_values(["band", "bucket", "doc_id"], kind="mergesort")
+    prev = df.groupby(["band", "bucket"], sort=False)["doc_id"].shift(1)
+    m = prev.notna().to_numpy()
+    return pa.table(
+        {"doc_a": pa.array(prev[m].astype("int64"), pa.int64()),
+         "doc_b": pa.array(df["doc_id"].to_numpy()[m], pa.int64())}
+    )
+
+
 def _distinct_pairs(pairs):
     """Distinct (doc_a, doc_b) via a hash aggregate (cheaper than one
     map_groups Python call per pair)."""
@@ -134,8 +173,10 @@ def minhash_pairs(ds):
     representative), distinct across bands. Shuffles only (band,
     bucket, doc_id) tuples."""
     bands = ds.map_batches(minhash_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        bands.map_batches(_with_bucket_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_bucket_pairs_part, batch_format="pyarrow")
     )
     # distinct (a pair can collide in several bands)
     return _distinct_pairs(pairs)
@@ -348,26 +389,53 @@ def simhash_pairs(ds, max_hamming: int = 3):
                          "block_val": pa.array(val, pa.string()),
                          "simhash": pa.array(full, pa.string())})
 
-    def pairs(group: pa.Table) -> pa.Table:
+    def pairs_part(g: pa.Table) -> pa.Table:
         """Chain pairs (each member vs its sorted-by-id predecessor —
         skew-linear and run-connected, same rationale as
-        ``_bucket_pairs``), hamming-verified."""
-        rows = sorted(set(zip(group["doc_id"].to_pylist(),
-                              group["simhash"].to_pylist())))
-        a, b = [], []
-        for (pid, ph), (did, h) in zip(rows, rows[1:]):
-            if did == pid:
-                continue
-            d = bin(int(ph, 16) ^ int(h, 16)).count("1")
-            if d <= max_hamming:
-                a.append(pid)
-                b.append(did)
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
+        ``_bucket_pairs``), hamming-verified; one vectorized pandas
+        call per hash PARTITION of buckets (see ``_with_bucket_part``),
+        Python only over the emitted candidate pairs."""
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"block": g["block"].to_numpy(zero_copy_only=False),
+             "block_val": g["block_val"].to_pandas(),
+             "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+             "simhash": g["simhash"].to_pandas()}
+        ).drop_duplicates()
+        df = df.sort_values(["block", "block_val", "doc_id"],
+                            kind="mergesort")
+        grp = df.groupby(["block", "block_val"], sort=False)
+        prev_id = grp["doc_id"].shift(1)
+        prev_h = grp["simhash"].shift(1)
+        m = prev_id.notna().to_numpy()
+        pid = prev_id.to_numpy()[m].astype("int64")
+        ph = prev_h.to_numpy()[m]
+        did = df["doc_id"].to_numpy()[m]
+        h = df["simhash"].to_numpy()[m]
+        keep = [
+            bin(int(x, 16) ^ int(y, 16)).count("1") <= max_hamming
+            for x, y in zip(ph, h)
+        ]
+        keep_np = pa.array(keep, pa.bool_())
+        return pa.table(
+            {"doc_a": pa.array(pid, pa.int64()),
+             "doc_b": pa.array(did, pa.int64())}
+        ).filter(keep_np)
+
+    def with_part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        part = pd.util.hash_array(
+            b["block_val"].to_pandas().to_numpy(dtype=object)
+        ) % _BUCKET_NPART
+        return b.append_column("part", pa.array(part.astype("int64")))
 
     blk = ds.map_batches(blocks, batch_format="pyarrow")
-    cand = blk.groupby(["block", "block_val"]).map_groups(
-        pairs, batch_format="pyarrow"
+    cand = (
+        blk.map_batches(with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow")
     )
     return _distinct_pairs(cand)
 
