@@ -719,14 +719,34 @@ sh AS (
   FROM t)
 """
 
-# shingles -> 12-perm minhash signature -> 4 LSH band buckets -> pairs
+# shingles -> 12-perm minhash signature -> 4 LSH band buckets -> pairs.
+# One md5 per shingle; permutations are universal hashes over its
+# 52-bit prefix (ops.dedup._signature): h = int(md5[:13], 16) exactly
+# reconstructed from hex digits (the KMV trick — (strpos-1) * 16^(13-i)
+# products and their sum stay < 2^53, exact in the double intermediate),
+# then min((A*p+1)*h + (B*p+7)) mod (2^61 - 1) in HUGEINT arithmetic;
+# CAST(HUGEINT AS VARCHAR) == Python str(int) for the bucket concat.
 _MINHASH_CTE = _SHINGLES_CTE + """,
-sig AS (
+shr AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shi AS (
   SELECT doc_id,
-         list_transform(range(0, 12),
-           p -> list_min(list_transform(shingles,
-                  s -> md5(p || ':' || s)))) AS sig
-  FROM sh),
+         CAST((SELECT sum(
+                 (strpos('0123456789abcdef',
+                         substr(md5(shr.s), i.i, 1)) - 1)
+                 * power(16.0, 13 - i.i))
+               FROM (SELECT unnest(range(1, 14)) AS i) i)
+              AS HUGEINT) AS h
+  FROM shr),
+sigp AS (
+  SELECT doc_id, p.p AS p,
+         min((CAST(2654435761 * p.p + 1 AS HUGEINT) * h
+              + CAST(40503 * p.p + 7 AS HUGEINT))
+             % CAST(2305843009213693951 AS HUGEINT)) AS v
+  FROM shi CROSS JOIN (SELECT unnest(range(0, 12)) AS p) p
+  GROUP BY doc_id, p.p),
+sig AS (
+  SELECT doc_id, list(CAST(v AS VARCHAR) ORDER BY p) AS sig
+  FROM sigp GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.b AS band,
          md5(sig[b.b*3+1] || '|' || sig[b.b*3+2] || '|' || sig[b.b*3+3])

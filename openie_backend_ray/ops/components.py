@@ -187,11 +187,18 @@ def connected_components(edges, npartitions: int = 32,
       O(log^2 n) bound) is exceeded rather than returning a wrong
       clustering."""
     cols = edges.columns()
-    if "doc_a" in cols:
-        edges = edges.select_columns(["doc_a", "doc_b"]) \
-                     .rename_columns(["a", "b"])
-    else:
-        edges = edges.select_columns(["a", "b"])
+    src_a, src_b = ("doc_a", "doc_b") if "doc_a" in cols else ("a", "b")
+
+    def project(b: pa.Table) -> pa.Table:
+        # map_batches projection instead of select_columns +
+        # rename_columns: the latter pair intermittently validates the
+        # rename against the PRE-select schema under operator fusion
+        # (observed: "requires names length match ['doc_a','doc_b',
+        # 'jaccard']" on a 2-column select)
+        return pa.table({"a": b[src_a], "b": b[src_b]},
+                        schema=_EDGE_SCHEMA)
+
+    edges = edges.map_batches(project, batch_format="pyarrow")
     cur = edges.materialize()
     n_edges = cur.count()
     if n_edges == 0:

@@ -71,11 +71,26 @@ def _shingles(toks: list[str], k: int = SHINGLE_K) -> set:
     return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
+# universal-hash permutation family over the 52-bit md5 prefix: ONE md5
+# per shingle (the old per-(perm, shingle) salted md5 was 12x the
+# hashing for the same LSH quality), then (a_p*h + b_p) mod M mixes.
+# Exact in both engines: 52-bit h via the KMV hex->int trick, mults in
+# DuckDB HUGEINT, M = 2^61 - 1.
+_MH_MOD = (1 << 61) - 1
+_MH_A = 2654435761  # Knuth multiplicative constants; a_p = A*p + 1
+_MH_B = 40503       # b_p = B*p + 7
+
+
 def _signature(sh: set, num_perm: int = NUM_PERM) -> list[str]:
-    """Min (lexicographic) md5 hex per salted permutation — identical in
-    DuckDB: min(md5(i || ':' || shingle))."""
+    """Decimal-string min of each permutation hash (str so the bucket
+    md5 concat is engine-identical: DuckDB CAST(HUGEINT AS VARCHAR) ==
+    Python str(int))."""
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:13], 16) for s in sh
+    ]
     return [
-        min(hashlib.md5(f"{p}:{s}".encode()).hexdigest() for s in sh)
+        str(min(((_MH_A * p + 1) * h + (_MH_B * p + 7)) % _MH_MOD
+                for h in hs))
         for p in range(num_perm)
     ]
 
