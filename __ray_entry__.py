@@ -160,6 +160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"])
         )
 
+    def q_quality_gate(sf_dir: str):
+        return TS.quality_gate(
+            _read(sf_dir, "documents", ["doc_id", "text"]), lang="en"
+        )
+
     def q_dedup_exact(sf_dir: str):
         return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -647,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": q_vocab_stats,
         "repetition_stats": q_repetition_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "quality_gate": q_quality_gate,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -901,6 +907,69 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN btop b USING (doc_id)
             LEFT JOIN tdup d USING (doc_id)
+        """,
+        # composed cleaning gate: quality + repetition + lang twins
+        # AND-ed exactly as ops.textstats.quality_gate_batch composes
+        # the three batch kernels
+        "quality_gate": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks
+                       FROM documents),
+            q AS (
+              SELECT doc_id,
+                     (len(toks) >= 10 AND len(toks) <= 10000
+                      AND CAST(len(list_filter(toks,
+                            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                          / len(toks) <= 0.5) AS quality_ok
+              FROM t),
+            bgs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM t),
+            bcnt AS (SELECT doc_id, g, count(*) AS c
+                     FROM bgs GROUP BY doc_id, g),
+            btop AS (SELECT doc_id,
+                            CAST(max(c) AS DOUBLE) / sum(c) AS f
+                     FROM bcnt GROUP BY doc_id),
+            tgs AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]
+                            || ' ' || toks[i+2])) AS g
+              FROM t),
+            tcnt AS (SELECT doc_id, g, count(*) AS c
+                     FROM tgs GROUP BY doc_id, g),
+            tdup AS (SELECT doc_id,
+                            CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                                 AS DOUBLE) / sum(c) AS f
+                     FROM tcnt GROUP BY doc_id),
+            rep AS (
+              SELECT t.doc_id,
+                     (COALESCE(b.f, 0.0) > 0.2
+                      OR COALESCE(d.f, 0.0) > 0.3) AS repetitive
+              FROM t LEFT JOIN btop b USING (doc_id)
+              LEFT JOIN tdup d USING (doc_id)),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            markers(lang, token) AS (VALUES {_lang_marker_values()}),
+            sc AS (SELECT tok.doc_id, m.lang, count(*) AS c
+                   FROM tok JOIN markers m ON m.token = tok.token
+                   GROUP BY tok.doc_id, m.lang),
+            best AS (SELECT doc_id, lang,
+                            row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, lang) AS rn
+                     FROM sc),
+            lng AS (
+              SELECT t.doc_id,
+                     (COALESCE(b.lang, 'und') = 'en') AS lang_ok
+              FROM t LEFT JOIN best b
+                ON b.doc_id = t.doc_id AND b.rn = 1)
+            SELECT t.doc_id, q.quality_ok, rep.repetitive, lng.lang_ok,
+                   (q.quality_ok AND NOT rep.repetitive
+                    AND lng.lang_ok) AS keep
+            FROM t
+            JOIN q USING (doc_id)
+            JOIN rep USING (doc_id)
+            JOIN lng USING (doc_id)
         """,
         # BPE pre-tokenizer twin: same RE2 pattern, apostrophes doubled
         # for the SQL literal (see ops.textstats.BPE_PRETOKEN_RE)

@@ -156,7 +156,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "simhash_pairs", "embedding_pairs", "embedding_pairs_ivf",
         "ann_topk", "ann_ivf",
         "token_stats", "quality_score", "lang_id", "fingerprint",
-        "repetition_stats", "bpe_token_stats",
+        "repetition_stats", "bpe_token_stats", "quality_gate",
         "pricing_summary", "segment_revenue", "top_parts",
         "events_daily", "events_sessions", "asof_orders",
         "orders_in_range", "kmv_distinct_tokens",

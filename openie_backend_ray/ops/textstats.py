@@ -266,6 +266,43 @@ def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def quality_gate_batch(batch: pa.Table, lang: str = "en") -> pa.Table:
+    """Composed C4/Gopher-style cleaning gate: length/stopword quality
+    + repetition + language ID evaluated in ONE map pass per batch (no
+    shuffle — each signal is per-doc), emitting every signal plus the
+    final keep flag. The composition queries the same batch kernels
+    the standalone ops use, so the flags agree with them by
+    construction."""
+    q = quality_score_batch(batch)
+    r = repetition_stats_batch(batch)
+    l = lang_id_batch(batch)
+    qd = {d: k for d, k in zip(q["doc_id"].to_pylist(),
+                               q["keep"].to_pylist())}
+    rd = {d: k for d, k in zip(r["doc_id"].to_pylist(),
+                               r["repetitive"].to_pylist())}
+    ld = {d: k for d, k in zip(l["doc_id"].to_pylist(),
+                               l["lang_pred"].to_pylist())}
+    ids = batch["doc_id"].to_pylist()
+    quality_ok = [bool(qd.get(d)) for d in ids]
+    repetitive = [bool(rd.get(d)) for d in ids]
+    lang_ok = [ld.get(d) == lang for d in ids]
+    keep = [a and (not b) and c
+            for a, b, c in zip(quality_ok, repetitive, lang_ok)]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "quality_ok": pa.array(quality_ok, pa.bool_()),
+         "repetitive": pa.array(repetitive, pa.bool_()),
+         "lang_ok": pa.array(lang_ok, pa.bool_()),
+         "keep": pa.array(keep, pa.bool_())}
+    )
+
+
+def quality_gate(ds, lang: str = "en"):
+    return ds.map_batches(
+        lambda b: quality_gate_batch(b, lang), batch_format="pyarrow"
+    )
+
+
 # -- Dataset-level wrappers -------------------------------------------------
 
 def token_stats(ds):

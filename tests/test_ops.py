@@ -65,6 +65,39 @@ def test_repetition_stats_batch():
     assert dup[1] == top[2] == dup[2] == 0.0
 
 
+def test_quality_gate_agrees_with_components():
+    from openie_backend_ray.ops.textstats import (
+        lang_id_batch,
+        quality_gate_batch,
+        quality_score_batch,
+        repetition_stats_batch,
+    )
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(
+             ["cats chase small dogs around green gardens every sunny"
+              " morning near the lake",
+              "spam spam spam spam spam spam spam spam spam spam",
+              "el la los de en y que un una es por para con si no"])}
+    )
+    g = quality_gate_batch(t).to_pylist()
+    q = {r["doc_id"]: r["keep"] for r in quality_score_batch(t).to_pylist()}
+    r = {r["doc_id"]: r["repetitive"]
+         for r in repetition_stats_batch(t).to_pylist()}
+    l = {r["doc_id"]: r["lang_pred"] for r in lang_id_batch(t).to_pylist()}
+    for row in g:
+        d = row["doc_id"]
+        assert row["quality_ok"] == q[d]
+        assert row["repetitive"] == r[d]
+        assert row["lang_ok"] == (l[d] == "en")
+        assert row["keep"] == (q[d] and not r[d] and l[d] == "en")
+    flags = {row["doc_id"]: row["keep"] for row in g}
+    assert flags[1] is True          # clean English
+    assert flags[2] is False         # repetitive
+    assert flags[3] is False         # Spanish
+
+
 def test_bpe_token_stats_pieces():
     from openie_backend_ray.ops.textstats import bpe_token_stats_batch
 
