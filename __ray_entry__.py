@@ -171,6 +171,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_dedup_minhash_pairs(sf_dir: str):
         return D.minhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
+    def q_winnow_fingerprints(sf_dir: str):
+        return D.winnow_fingerprints(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
+    def q_winnow_pairs(sf_dir: str):
+        return D.winnow_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+
     def q_ngram_jaccard(sf_dir: str):
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
         return D.ngram_jaccard_pairs(ds, threshold=0.5)
@@ -655,6 +665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": q_quality_gate,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "clean_corpus": q_clean_corpus,
         "fuzzy_components": q_fuzzy_components,
@@ -723,6 +735,28 @@ sh AS (
                      i -> array_to_string(toks[i:i+2], ' ')))
          END AS shingles
   FROM t)
+"""
+
+# winnowing twin (ops.dedup.winnow_fingerprints_batch): k-gram md5s,
+# distinct window-of-w minimums; short docs hash the whole text
+_WINNOW_CTE = f"""
+t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3
+              THEN [md5(array_to_string(toks, ' '))]
+              ELSE list_transform(range(1, len(toks) - 1),
+                     i -> md5(array_to_string(toks[i:i+2], ' ')))
+         END AS hs
+  FROM t),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(
+                     range(1, len(hs) - 2),
+                     i -> list_min(hs[i:i+3])))
+         END AS fps
+  FROM h)
 """
 
 # shingles -> 12-perm minhash signature -> 4 LSH band buckets -> pairs.
@@ -993,6 +1027,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_pairs": f"""
             WITH {_MINHASH_CTE}
+            SELECT doc_a, doc_b FROM cand
+        """,
+        # winnowing (k=3 grams, w=4 windows): selecting window-min by
+        # VALUE makes the fingerprint set tie-rule-free, so list_min
+        # over md5 hex == Python min over the same hex strings
+        "winnow_fingerprints": f"""
+            WITH {_WINNOW_CTE}
+            SELECT doc_id, unnest(fps) AS fp FROM sel
+        """,
+        "winnow_pairs": f"""
+            WITH {_WINNOW_CTE},
+            e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            cand AS (
+              SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+              FROM (SELECT doc_id,
+                           lag(doc_id) OVER (PARTITION BY fp
+                                             ORDER BY doc_id) AS prev
+                    FROM e)
+              WHERE prev IS NOT NULL)
             SELECT doc_a, doc_b FROM cand
         """,
         "ngram_jaccard": f"""

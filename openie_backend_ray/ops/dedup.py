@@ -198,6 +198,81 @@ def minhash_pairs(ds):
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # gram size (tokens)
+WINNOW_W = 4  # window of consecutive gram hashes per fingerprint
+
+
+def winnow_fingerprints_batch(batch: pa.Table, k: int = WINNOW_K,
+                              w: int = WINNOW_W) -> pa.Table:
+    """Per doc: the DISTINCT set of window-min gram hashes — each
+    window of ``w`` consecutive k-gram md5s contributes its minimum.
+    Guarantees any shared run of >= w+k-1 tokens yields a shared
+    fingerprint (the winnowing coverage property), with ~2/(w+1) of
+    grams selected instead of all of them. Selecting by min VALUE
+    (not position) makes the set tie-rule-free, so the DuckDB twin is
+    a plain ``list_min`` over hex strings (lexicographic min —
+    identical to Python ``min`` on the same hex). Docs with fewer
+    than k tokens hash the whole text (one fingerprint), mirroring
+    ``fingerprint_batch``. Emitted exploded: one (doc_id, fp) row per
+    distinct fingerprint."""
+    ids_out, fps = [], []
+    toks_col = _dedup_tokens(batch["text"])
+    for did, toks in zip(batch["doc_id"].to_pylist(), toks_col):
+        if len(toks) < k:
+            hs = [hashlib.md5(" ".join(toks).encode()).hexdigest()]
+        else:
+            hs = [
+                hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                for i in range(len(toks) - k + 1)
+            ]
+        if len(hs) <= w:
+            sel = {min(hs)}
+        else:
+            sel = {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+        for fp in sorted(sel):
+            ids_out.append(did)
+            fps.append(fp)
+    return pa.table(
+        {"doc_id": pa.array(ids_out, pa.int64()),
+         "fp": pa.array(fps, pa.string())}
+    )
+
+
+def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W):
+    return ds.map_batches(
+        lambda b: winnow_fingerprints_batch(b, k, w),
+        batch_format="pyarrow",
+    )
+
+
+def winnow_pairs(ds, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Candidate duplicate pairs from SHARED winnowed fingerprints —
+    the MOSS grouping step: docs sharing any selected gram hash chain
+    up, exactly the minhash LSH shuffle shape (fingerprint plays
+    bucket; same partition-vectorized chain-pair emission, same
+    ``_distinct_pairs`` tail)."""
+
+    def as_buckets(b: pa.Table) -> pa.Table:
+        fp = winnow_fingerprints_batch(b, k, w)
+        return pa.table(
+            {"band": pa.array([0] * fp.num_rows, pa.int32()),
+             "bucket": fp["fp"],
+             "doc_id": fp["doc_id"]}
+        )
+
+    cand = (
+        ds.map_batches(as_buckets, batch_format="pyarrow")
+        .map_batches(_with_bucket_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_bucket_pairs_part, batch_format="pyarrow")
+    )
+    return _distinct_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard verify (on candidate pairs)
 # ---------------------------------------------------------------------------
 

@@ -65,6 +65,27 @@ def test_repetition_stats_batch():
     assert dup[1] == top[2] == dup[2] == 0.0
 
 
+def test_winnowing_coverage_property():
+    """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
+    token run of length >= w + k - 1 (= 6 here) share at least one
+    fingerprint; disjoint docs share none."""
+    from openie_backend_ray.ops.dedup import winnow_fingerprints_batch
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(
+             ["p q r s t u v w x y",
+              "a b c r s t u v w d e",   # shares the 6-run "r s t u v w"
+              "m n o zz yy xx ww vv"])}
+    )
+    out = winnow_fingerprints_batch(t)
+    fps: dict[int, set] = {}
+    for r in out.to_pylist():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 def test_quality_gate_agrees_with_components():
     from openie_backend_ray.ops.textstats import (
         lang_id_batch,
