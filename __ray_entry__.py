@@ -366,6 +366,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="lang", target=50,
         )
 
+    def q_mixture_resample(sf_dir: str):
+        """Multilingual sqrt-flattening: lang is the skewed column in
+        the sf data (en ~2.7x de), so the downsampling path actually
+        executes; source is uniform by construction."""
+        from openie_backend_ray.ops import curation as CU
+
+        return CU.mixture_resample(
+            _read(sf_dir, "documents", ["doc_id", "lang"]),
+            by="lang",
+        )
+
     def q_dup_ngram_coverage(sf_dir: str):
         from openie_backend_ray.ops import curation as CU
 
@@ -691,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "source_mix": q_source_mix,
         "dup_ngram_coverage": q_dup_ngram_coverage,
+        "mixture_resample": q_mixture_resample,
         "flagship_triples": _flagship_triples,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1392,6 +1404,29 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS sample_rank
               FROM documents)
             WHERE sample_rank <= 50
+        """,
+        # sqrt-temperature mixture resample twin: ONE int/int division
+        # + ONE sqrt (both IEEE-correctly-rounded) per source; the
+        # Bernoulli draw is the exact 52-bit md5 fraction (KMV trick)
+        "mixture_resample": r"""
+            WITH c AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY lang),
+            m AS (SELECT min(n) AS nmin FROM c),
+            r AS (SELECT lang,
+                         sqrt(CAST((SELECT nmin FROM m) AS DOUBLE)
+                              / CAST(n AS DOUBLE)) AS rate
+                  FROM c),
+            f AS (
+              SELECT d.doc_id, d.lang, r.rate,
+                     (SELECT sum(
+                        (strpos('0123456789abcdef',
+                           substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                  i.i, 1)) - 1)
+                        * power(16.0, 13 - i.i))
+                      FROM (SELECT unnest(range(1, 14)) AS i) i)
+                     / power(2.0, 52) AS frac
+              FROM documents d JOIN r USING (lang))
+            SELECT doc_id, lang, rate FROM f WHERE frac < rate
         """,
         # duplicate-gram coverage twin: occurrence counts per (doc,
         # gram), gram multiplicity via a self-aggregate, per-doc sums

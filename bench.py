@@ -162,7 +162,7 @@ def run_query_bench(sf_dir: str) -> dict:
         "events_daily", "events_sessions", "asof_orders",
         "orders_in_range", "kmv_distinct_tokens",
         "decontaminate", "pii_redact", "stratified_sample",
-        "pack_sequences", "source_mix", "dup_ngram_coverage",
+        "pack_sequences", "source_mix", "dup_ngram_coverage", "mixture_resample",
         "media_features", "extreme_filter",
         "regroup", "type_predictions", "clean_corpus",
         "fuzzy_components",

@@ -254,6 +254,56 @@ def stratified_sample(ds, by: str = "lang", key: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# mixture resampling (sqrt-temperature flattening of source shares)
+# ---------------------------------------------------------------------------
+
+def mixture_resample(ds, by: str = "source", key: str = "doc_id"):
+    """Deterministic temperature resampling toward a flatter source
+    mixture (the DoReMi/multilingual-sampling alpha=0.5 special case):
+    keep each row of source s with probability
+    ``rate_s = sqrt(n_min / n_s)`` — the rarest source keeps
+    everything, a source 100x larger keeps 10%, so post-sample shares
+    go as sqrt(pre-sample shares). alpha is FIXED at 0.5 on purpose:
+    sqrt is IEEE-correctly-rounded in every engine while pow() is not,
+    so the DuckDB twin's keep decisions are bit-identical, not just
+    close. The Bernoulli draw is the md5 52-bit fraction of the key
+    (reproducible across engines and runs).
+
+    Two passes: a tiny per-source count aggregate (take_all bounded by
+    the number of sources), then a broadcast-rate filter map."""
+    import math
+
+    import ray
+
+    counts = (
+        ds.groupby(by).count().take_all()
+    )
+    rates = {}
+    if counts:
+        nmin = min(r["count()"] for r in counts)
+        rates = {r[by]: math.sqrt(nmin / r["count()"]) for r in counts}
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rs = ray.get(rates_ref)
+        ids = batch[key].to_pylist()
+        srcs = batch[by].to_pylist()
+        mask = []
+        rate_col = []
+        for i, s in zip(ids, srcs):
+            rate = rs.get(s, 0.0)
+            frac = int(
+                hashlib.md5(str(i).encode()).hexdigest()[:13], 16
+            ) / 4503599627370496.0  # / 2^52, exact
+            mask.append(frac < rate)
+            rate_col.append(rate)
+        out = batch.append_column("rate", pa.array(rate_col, pa.float64()))
+        return out.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # cross-document duplicate-n-gram coverage (Lee et al. 2022 signal)
 # ---------------------------------------------------------------------------
 

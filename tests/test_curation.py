@@ -193,6 +193,36 @@ def test_stratified_sample_allocation(ray_session):
             .equals(out[key].sort_values(key).reset_index(drop=True)))
 
 
+def test_mixture_resample_flattens(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.curation import mixture_resample
+
+    n_big, n_small = 900, 100
+    t = pa.table(
+        {"doc_id": pa.array(range(n_big + n_small), pa.int64()),
+         "source": pa.array(["web"] * n_big + ["book"] * n_small)}
+    )
+    out = mixture_resample(
+        ray.data.from_arrow(t).repartition(5), by="source"
+    ).to_pandas()
+    counts = out.groupby("source")["doc_id"].count()
+    # rarest source keeps everything (rate 1.0)
+    assert counts["book"] == n_small
+    assert set(out[out["source"] == "book"]["rate"]) == {1.0}
+    # 9x bigger source keeps ~sqrt(1/9) = 1/3 (Bernoulli tolerance)
+    import math
+    assert math.isclose(
+        out[out["source"] == "web"]["rate"].iloc[0], math.sqrt(1 / 9)
+    )
+    assert 0.22 * n_big < counts["web"] < 0.45 * n_big
+    # deterministic: same input -> same kept set
+    out2 = mixture_resample(
+        ray.data.from_arrow(t).repartition(3), by="source"
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
 # -- sequence packing -------------------------------------------------------
 
 def test_pack_sequences_prefix_sum(ray_session):
