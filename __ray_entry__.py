@@ -181,6 +181,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"])
         )
 
+    def q_delta_dedup(sf_dir: str):
+        """Incremental ingest dedup: the doc_id % 10 == 0 split plays
+        the incoming delta, the rest the existing store."""
+        import pyarrow as pa
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def split(keep_delta: bool):
+            def body(b):
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array((ids % 10 == 0) == keep_delta))
+            return body
+
+        return D.delta_dedup(
+            docs.map_batches(split(True), batch_format="pyarrow"),
+            docs.map_batches(split(False), batch_format="pyarrow"),
+        )
+
     def q_ngram_jaccard(sf_dir: str):
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
         return D.ngram_jaccard_pairs(ds, threshold=0.5)
@@ -678,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
+        "delta_dedup": q_delta_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "clean_corpus": q_clean_corpus,
         "fuzzy_components": q_fuzzy_components,
@@ -1059,6 +1078,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM e)
               WHERE prev IS NOT NULL)
             SELECT doc_a, doc_b FROM cand
+        """,
+        # delta-vs-store content dedup: per delta doc, how many of its
+        # winnowed fingerprints exist anywhere in the store split
+        "delta_dedup": f"""
+            WITH {_WINNOW_CTE},
+            e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            st AS (SELECT DISTINCT fp FROM e WHERE doc_id % 10 <> 0),
+            dl AS (SELECT doc_id, fp FROM e WHERE doc_id % 10 = 0)
+            SELECT dl.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM dl JOIN st USING (fp)
+            GROUP BY dl.doc_id
         """,
         "ngram_jaccard": f"""
             WITH {_MINHASH_CTE}

@@ -272,6 +272,86 @@ def winnow_pairs(ds, k: int = WINNOW_K, w: int = WINNOW_W):
     return _distinct_pairs(cand)
 
 
+def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Incremental-ingest dedup: which DELTA docs share a winnowed
+    fingerprint with the existing STORE corpus. Returns one row per
+    FLAGGED delta doc (doc_id, n_shared distinct fingerprints) — the
+    ingest pipeline anti-joins this list to drop near-dups before
+    extraction, the same way the reference's news ingester anti-joins
+    deltas against the index (``Ingester.scala`` delta semantics, here
+    at content level).
+
+    Shape: both sides stream through the winnowing map; the only
+    all-to-all is ONE fingerprint-hash-partitioned co-group (side-
+    tagged union — the typer's J2 pattern), then a per-delta-doc sum
+    with a map-side Arrow combiner. The store side is never collected:
+    at 100 TB the store fingerprints would be a precomputed parquet
+    table and this op reads it instead of re-winnowing."""
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            fp = winnow_fingerprints_batch(b, k, w)
+            return pa.table(
+                {"fp": fp["fp"],
+                 "doc_id": fp["doc_id"],
+                 "side": pa.array([side] * fp.num_rows, pa.int8())}
+            )
+        return fn
+
+    def with_part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        part = pd.util.hash_array(
+            b["fp"].to_pandas().to_numpy(dtype=object)
+        ) % _BUCKET_NPART
+        return b.append_column("part", pa.array(part.astype("int64")))
+
+    def hits_part(g: pa.Table) -> pa.Table:
+        """Per partition: delta rows whose fp also occurs on the store
+        side — one vectorized pandas pass."""
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"fp": g["fp"].to_pandas(),
+             "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+             "side": g["side"].to_numpy(zero_copy_only=False)}
+        )
+        store_fps = df.loc[df["side"] == 1, "fp"].unique()
+        hits = df[(df["side"] == 0) & df["fp"].isin(store_fps)]
+        agg = hits.groupby("doc_id", sort=False).size()
+        return pa.table(
+            {"doc_id": pa.array(agg.index, pa.int64()),
+             "n_shared": pa.array(agg.to_numpy(), pa.int64())}
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("doc_id").aggregate([("n_shared", "sum")])
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_shared": pc.cast(t["n_shared_sum"], pa.int64())}
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"],
+             "n_shared": pc.cast(b["sum(n_shared)"], pa.int64())}
+        )
+
+    tagged = (
+        delta_ds.map_batches(tag(0), batch_format="pyarrow")
+        .union(store_ds.map_batches(tag(1), batch_format="pyarrow"))
+        .map_batches(with_part, batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("part")
+        .map_groups(hits_part, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("n_shared")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verify (on candidate pairs)
 # ---------------------------------------------------------------------------

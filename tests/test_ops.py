@@ -86,6 +86,28 @@ def test_winnowing_coverage_property():
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
 
 
+def test_delta_dedup_flags_store_overlap(ray_session):
+    import ray
+
+    from openie_backend_ray.ops.dedup import delta_dedup
+
+    store = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["p q r s t u v w x y",
+                           "m n o zz yy xx ww vv"])}
+    )
+    delta = pa.table(
+        {"doc_id": pa.array([10, 11], pa.int64()),
+         "text": pa.array(["a b c r s t u v w d e",  # shares a 6-run
+                           "totally fresh delta content here only"])}
+    )
+    out = delta_dedup(
+        ray.data.from_arrow(delta), ray.data.from_arrow(store)
+    ).to_pandas()
+    assert list(out["doc_id"]) == [10]
+    assert out["n_shared"].iloc[0] >= 1
+
+
 def test_quality_gate_agrees_with_components():
     from openie_backend_ray.ops.textstats import (
         lang_id_batch,
