@@ -36,26 +36,31 @@ DECONTAM_K = 13  # published default (GPT-3 appendix C); tests use k=5
                  # because fixture docs are 10-99 tokens long
 
 
-def _distinct_grams_frame(batch: pa.Table, k: int) -> pd.DataFrame:
-    """(doc_id, gram) frame of each doc's DISTINCT k-token grams —
-    built with one flatten + (k-1) pandas group-shifts, no per-row
-    Python loop. Docs shorter than k tokens contribute no rows."""
+def _grams_frame(batch: pa.Table, k: int) -> pd.DataFrame:
+    """(doc_id, gram) frame of each doc's k-token grams, one row per
+    OCCURRENCE — one flatten + (k-1) pandas group-shifts, no per-row
+    Python loop. Docs shorter than k tokens contribute no rows.
+
+    The token series is snapshotted (``tok``) before accumulation so
+    each ``shift(-i)`` explicitly reads original tokens — not relying
+    on pandas' internal groupby-selection aliasing behavior."""
     toks = pc.split_pattern_regex(batch["text"], r"\s+")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
-    df = pd.DataFrame(
-        {"doc_id": pc.take(batch["doc_id"], parents)
-                     .to_numpy(zero_copy_only=False),
-         "gram": flat.to_pandas()}
+    doc = pd.Series(
+        pc.take(batch["doc_id"], parents).to_numpy(zero_copy_only=False)
     )
-    g = df.groupby("doc_id", sort=False)["gram"]
+    tok = flat.to_pandas()
+    grouped = tok.groupby(doc)
+    gram = tok
     for i in range(1, k):
-        df["gram"] = df["gram"] + " " + g.shift(-i)
-        # NOTE: shift() reads the ORIGINAL column via the cached
-        # groupby view `g`, so successive += lines append token i, not
-        # already-joined grams.
-    df = df[df["gram"].notna()]
-    return df.drop_duplicates(["doc_id", "gram"])
+        gram = gram + " " + grouped.shift(-i)
+    df = pd.DataFrame({"doc_id": doc, "gram": gram})
+    return df[df["gram"].notna()]
+
+
+def _distinct_grams_frame(batch: pa.Table, k: int) -> pd.DataFrame:
+    return _grams_frame(batch, k).drop_duplicates(["doc_id", "gram"])
 
 
 def collect_eval_grams(eval_ds, k: int = DECONTAM_K) -> pa.Array:
@@ -194,6 +199,20 @@ def _md5_of_ids(ids) -> np.ndarray:
     )
 
 
+def _md5_frac(ids) -> np.ndarray:
+    """Exact 52-bit md5 fraction per id: int(md5[:13], 16) / 2^52 —
+    the engine-reproducible Bernoulli draw (the SQL twin reconstructs
+    the same value with the KMV hex->int trick). Values < 2^52 are
+    exact in float64, so the division and every comparison against a
+    rate are bit-identical across engines. The per-id md5 is the one
+    irreducible Python cost; everything downstream is numpy."""
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+         for v in ids],
+        dtype=np.float64,
+    ) / 4503599627370496.0
+
+
 def stratified_sample(ds, by: str = "lang", key: str = "doc_id",
                       target: int = 50, bucketed: bool = False):
     """Deterministic stratified sample: per ``by``-bucket, keep the
@@ -286,19 +305,11 @@ def mixture_resample(ds, by: str = "source", key: str = "doc_id"):
 
     def keep(batch: pa.Table) -> pa.Table:
         rs = ray.get(rates_ref)
-        ids = batch[key].to_pylist()
-        srcs = batch[by].to_pylist()
-        mask = []
-        rate_col = []
-        for i, s in zip(ids, srcs):
-            rate = rs.get(s, 0.0)
-            frac = int(
-                hashlib.md5(str(i).encode()).hexdigest()[:13], 16
-            ) / 4503599627370496.0  # / 2^52, exact
-            mask.append(frac < rate)
-            rate_col.append(rate)
-        out = batch.append_column("rate", pa.array(rate_col, pa.float64()))
-        return out.filter(pa.array(mask, pa.bool_()))
+        rate = (batch[by].to_pandas().map(rs).fillna(0.0)
+                .to_numpy(dtype=np.float64))
+        frac = _md5_frac(batch[key].to_pylist())
+        out = batch.append_column("rate", pa.array(rate, pa.float64()))
+        return out.filter(pa.array(frac < rate, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -323,31 +334,16 @@ def dup_ngram_coverage(ds, k: int = 5):
     invocations; the components.py partition pattern). Then a per-doc
     sum with a map-side Arrow combiner. Nothing materializes the gram
     table."""
-    npart = 64
+    from openie_backend_ray.ops.dedup import _with_part_on
 
     def occurrences(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks)
-        df = pd.DataFrame(
-            {"doc_id": pc.take(batch["doc_id"], parents)
-                         .to_numpy(zero_copy_only=False),
-             "gram": flat.to_pandas()}
-        )
-        g = df.groupby("doc_id", sort=False)["gram"]
-        for i in range(1, k):
-            df["gram"] = df["gram"] + " " + g.shift(-i)
-        df = df[df["gram"].notna()]
-        oc = (df.groupby(["doc_id", "gram"], sort=False).size()
-                .rename("n_occ").reset_index())
-        part = pd.util.hash_array(
-            oc["gram"].to_numpy(dtype=object)
-        ) % npart
+        oc = (_grams_frame(batch, k)
+              .groupby(["doc_id", "gram"], sort=False).size()
+              .rename("n_occ").reset_index())
         return pa.table(
             {"doc_id": pa.array(oc["doc_id"], pa.int64()),
              "gram": pa.array(oc["gram"], pa.string()),
-             "n_occ": pa.array(oc["n_occ"], pa.int64()),
-             "part": pa.array(part.astype("int64"), pa.int64())}
+             "n_occ": pa.array(oc["n_occ"], pa.int64())}
         )
 
     def attach_multiplicity(g: pa.Table) -> pa.Table:
@@ -389,6 +385,7 @@ def dup_ngram_coverage(ds, k: int = 5):
 
     return (
         ds.map_batches(occurrences, batch_format="pyarrow")
+        .map_batches(_with_part_on("gram"), batch_format="pyarrow")
         .groupby("part")
         .map_groups(attach_multiplicity, batch_format="pyarrow")
         .map_batches(per_doc_partial, batch_format="pyarrow")

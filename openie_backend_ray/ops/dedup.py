@@ -120,45 +120,63 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """CHAIN pairs: each bucket member pairs with its sorted-by-id
-    predecessor.  Linear in bucket size — a degenerate bucket of N
-    identical docs emits N-1 pairs, not N^2/2, so no skew cap is
-    needed — and unlike star-vs-anchor pairs, a run of mutual
-    near-dups stays CONNECTED (every member is verified against a
-    neighbor, not only against the min-id anchor, so clean_corpus's
-    drop-doc_b rule removes the whole run).  Recall vs full pairwise
-    is still approximate: two near-dups separated in id order by a
-    non-dup bucket member are not emitted — the inherent LSH-candidate
-    trade-off, stated here rather than papered over."""
-    ids = sorted(set(group["doc_id"].to_pylist()))
-    return pa.table({"doc_a": pa.array(ids[:-1], pa.int64()),
-                     "doc_b": pa.array(ids[1:], pa.int64())})
-
-
 _BUCKET_NPART = 64
 
 
-def _with_bucket_part(b: pa.Table) -> pa.Table:
-    """Deterministic hash partition on the bucket value (siphash via
+def _with_part_on(col: str):
+    """Deterministic hash partition on a string column (siphash via
     ``pd.util.hash_array``, identical on every worker).  Grouping by
-    this partition instead of the raw (band, bucket) key turns ~one
-    Python ``map_groups`` call per BUCKET (40k+ tiny calls at sf0.1)
+    this partition instead of the raw high-cardinality key turns ~one
+    Python ``map_groups`` call per KEY (40k+ tiny calls at sf0.1)
     into one vectorized pandas call per PARTITION; each partition
-    still holds every row of each of its buckets, so the per-bucket
-    logic inside is exact."""
+    still holds every row of each of its keys, so the per-key logic
+    inside is exact.  ONE shared implementation — the partition count
+    and hash are determinism-critical, so every bucketed op (minhash,
+    simhash, winnowing, delta dedup, gram coverage) must use this
+    exact function."""
     import pandas as pd
 
-    part = pd.util.hash_array(
-        b["bucket"].to_pandas().to_numpy(dtype=object)
-    ) % _BUCKET_NPART
-    return b.append_column("part", pa.array(part.astype("int64")))
+    def fn(b: pa.Table) -> pa.Table:
+        part = pd.util.hash_array(
+            b[col].to_pandas().to_numpy(dtype=object)
+        ) % _BUCKET_NPART
+        return b.append_column("part", pa.array(part.astype("int64")))
+
+    return fn
+
+
+def _with_bucket_part(b: pa.Table) -> pa.Table:
+    return _with_part_on("bucket")(b)
+
+
+def _chain_mask(df, keys: list[str]) -> "np.ndarray":
+    """Boolean mask over rows 1..n-1 of a keys-sorted frame marking
+    rows whose predecessor shares all ``keys`` — integer/string
+    comparisons only.  (A grouped ``shift(1)`` would promote int64
+    doc_ids to float64 for the NaN fill and silently ROUND ids above
+    2^53 on the way back — reproduced before switching to this
+    mask.)"""
+    if not len(df):
+        return np.zeros(0, dtype=bool)
+    same = np.ones(len(df) - 1, dtype=bool)
+    for k in keys:
+        v = df[k].to_numpy()
+        same &= v[1:] == v[:-1]
+    return same
 
 
 def _bucket_pairs_part(g: pa.Table) -> pa.Table:
-    """All buckets of one hash partition at once: chain pairs via a
-    grouped shift over the sorted distinct (band, bucket, doc_id)
-    rows — semantics identical to ``_bucket_pairs`` per bucket."""
+    """All buckets of one hash partition at once — CHAIN pairs: each
+    bucket member pairs with its sorted-by-id predecessor.  Linear in
+    bucket size — a degenerate bucket of N identical docs emits N-1
+    pairs, not N^2/2, so no skew cap is needed — and unlike
+    star-vs-anchor pairs, a run of mutual near-dups stays CONNECTED
+    (every member is verified against a neighbor, not only against
+    the min-id anchor, so clean_corpus's drop-doc_b rule removes the
+    whole run).  Recall vs full pairwise is still approximate: two
+    near-dups separated in id order by a non-dup bucket member are
+    not emitted — the inherent LSH-candidate trade-off, stated here
+    rather than papered over."""
     import pandas as pd
 
     df = pd.DataFrame(
@@ -167,11 +185,11 @@ def _bucket_pairs_part(g: pa.Table) -> pa.Table:
          "doc_id": g["doc_id"].to_numpy(zero_copy_only=False)}
     ).drop_duplicates()
     df = df.sort_values(["band", "bucket", "doc_id"], kind="mergesort")
-    prev = df.groupby(["band", "bucket"], sort=False)["doc_id"].shift(1)
-    m = prev.notna().to_numpy()
+    same = _chain_mask(df, ["band", "bucket"])
+    ids = df["doc_id"].to_numpy()
     return pa.table(
-        {"doc_a": pa.array(prev[m].astype("int64"), pa.int64()),
-         "doc_b": pa.array(df["doc_id"].to_numpy()[m], pa.int64())}
+        {"doc_a": pa.array(ids[:-1][same], pa.int64()),
+         "doc_b": pa.array(ids[1:][same], pa.int64())}
     )
 
 
@@ -298,14 +316,6 @@ def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W):
             )
         return fn
 
-    def with_part(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        part = pd.util.hash_array(
-            b["fp"].to_pandas().to_numpy(dtype=object)
-        ) % _BUCKET_NPART
-        return b.append_column("part", pa.array(part.astype("int64")))
-
     def hits_part(g: pa.Table) -> pa.Table:
         """Per partition: delta rows whose fp also occurs on the store
         side — one vectorized pandas pass."""
@@ -340,7 +350,7 @@ def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W):
     tagged = (
         delta_ds.map_batches(tag(0), batch_format="pyarrow")
         .union(store_ds.map_batches(tag(1), batch_format="pyarrow"))
-        .map_batches(with_part, batch_format="pyarrow")
+        .map_batches(_with_part_on("fp"), batch_format="pyarrow")
     )
     return (
         tagged.groupby("part")
@@ -562,9 +572,11 @@ def simhash_pairs(ds, max_hamming: int = 3):
     def pairs_part(g: pa.Table) -> pa.Table:
         """Chain pairs (each member vs its sorted-by-id predecessor —
         skew-linear and run-connected, same rationale as
-        ``_bucket_pairs``), hamming-verified; one vectorized pandas
-        call per hash PARTITION of buckets (see ``_with_bucket_part``),
-        Python only over the emitted candidate pairs."""
+        ``_bucket_pairs_part``), hamming-verified; one vectorized
+        pandas call per hash PARTITION of buckets, Python only over
+        the emitted candidate pairs.  Predecessors come from the
+        ``_chain_mask`` adjacency mask, never a grouped shift (int64
+        doc_ids survive exactly — see ``_chain_mask``)."""
         import pandas as pd
 
         df = pd.DataFrame(
@@ -575,35 +587,25 @@ def simhash_pairs(ds, max_hamming: int = 3):
         ).drop_duplicates()
         df = df.sort_values(["block", "block_val", "doc_id"],
                             kind="mergesort")
-        grp = df.groupby(["block", "block_val"], sort=False)
-        prev_id = grp["doc_id"].shift(1)
-        prev_h = grp["simhash"].shift(1)
-        m = prev_id.notna().to_numpy()
-        pid = prev_id.to_numpy()[m].astype("int64")
-        ph = prev_h.to_numpy()[m]
-        did = df["doc_id"].to_numpy()[m]
-        h = df["simhash"].to_numpy()[m]
-        keep = [
-            bin(int(x, 16) ^ int(y, 16)).count("1") <= max_hamming
-            for x, y in zip(ph, h)
-        ]
-        keep_np = pa.array(keep, pa.bool_())
+        same = _chain_mask(df, ["block", "block_val"])
+        ids = df["doc_id"].to_numpy()
+        hs = df["simhash"].to_numpy()
+        pid, did = ids[:-1][same], ids[1:][same]
+        ph, h = hs[:-1][same], hs[1:][same]
+        keep = pa.array(
+            [bin(int(x, 16) ^ int(y, 16)).count("1") <= max_hamming
+             for x, y in zip(ph, h)],
+            pa.bool_(),
+        )
         return pa.table(
             {"doc_a": pa.array(pid, pa.int64()),
              "doc_b": pa.array(did, pa.int64())}
-        ).filter(keep_np)
-
-    def with_part(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        part = pd.util.hash_array(
-            b["block_val"].to_pandas().to_numpy(dtype=object)
-        ) % _BUCKET_NPART
-        return b.append_column("part", pa.array(part.astype("int64")))
+        ).filter(keep)
 
     blk = ds.map_batches(blocks, batch_format="pyarrow")
     cand = (
-        blk.map_batches(with_part, batch_format="pyarrow")
+        blk.map_batches(_with_part_on("block_val"),
+                        batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_part, batch_format="pyarrow")
     )

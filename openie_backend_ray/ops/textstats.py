@@ -48,12 +48,16 @@ def _tokens_frame(batch: pa.Table) -> pd.DataFrame:
     )
 
 
-def token_stats_batch(batch: pa.Table) -> pa.Table:
+def token_stats_batch(batch: pa.Table, tok_df=None) -> pa.Table:
     """Per-doc token stats: n_tokens, n_types, stopword_ratio.
 
     The ratio is a single int/int float64 division — deliberately NOT
     rounded: one IEEE division is bit-identical in every engine, while
-    round() semantics differ (numpy half-even vs DuckDB half-up)."""
+    round() semantics differ (numpy half-even vs DuckDB half-up).
+
+    ``tok_df``: optional precomputed ``_tokens_frame(batch)`` so a
+    composed caller (quality_gate) tokenizes once, not per kernel;
+    kernels shallow-copy it before adding their working columns."""
     if batch.num_rows == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
@@ -61,7 +65,8 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
              "n_types": pa.array([], pa.int64()),
              "stopword_ratio": pa.array([], pa.float64())}
         )
-    df = _tokens_frame(batch)
+    df = (tok_df[["doc_id", "token"]].copy()
+          if tok_df is not None else _tokens_frame(batch))
     df["is_stop"] = df["token"].isin(STOPWORDS)
     g = df.groupby("doc_id", sort=False)
     agg = g.agg(
@@ -85,11 +90,12 @@ def quality_score_batch(
     min_tokens: int = 10,
     max_tokens: int = 10_000,
     max_stop_ratio: float = 0.5,
+    tok_df=None,
 ) -> pa.Table:
     """Quality gate: length band + stopword-ratio + mean token length.
     Emits the signals and a keep flag (C4/Gopher-style rules at fixture
     scale)."""
-    stats = token_stats_batch(batch)
+    stats = token_stats_batch(batch, tok_df=tok_df)
     if stats.num_rows == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
@@ -118,13 +124,14 @@ def quality_score_batch(
     )
 
 
-def lang_id_batch(batch: pa.Table) -> pa.Table:
+def lang_id_batch(batch: pa.Table, tok_df=None) -> pa.Table:
     """Stopword-profile language ID (deterministic heuristic): argmax of
     marker-token hit rate per language, 'und' when nothing matches."""
     if batch.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "lang_pred": pa.array([], pa.string())})
-    df = _tokens_frame(batch)
+    df = (tok_df[["doc_id", "token"]].copy()
+          if tok_df is not None else _tokens_frame(batch))
     langs = sorted(_LANG_MARKERS)
     for lang in langs:
         df[lang] = df["token"].isin(_LANG_MARKERS[lang])
@@ -170,6 +177,7 @@ def repetition_stats_batch(
     batch: pa.Table,
     max_top_bigram_frac: float = 0.2,
     max_dup_trigram_frac: float = 0.3,
+    tok_df=None,
 ) -> pa.Table:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     fraction of a doc's bigrams occupied by its most common bigram, and
@@ -186,7 +194,8 @@ def repetition_stats_batch(
     )
     if batch.num_rows == 0:
         return empty
-    df = _tokens_frame(batch)
+    df = (tok_df[["doc_id", "token"]].copy()
+          if tok_df is not None else _tokens_frame(batch))
     g = df.groupby("doc_id", sort=False)["token"]
     df["nxt"] = g.shift(-1)
     df["nxt2"] = g.shift(-2)
@@ -271,11 +280,13 @@ def quality_gate_batch(batch: pa.Table, lang: str = "en") -> pa.Table:
     + repetition + language ID evaluated in ONE map pass per batch (no
     shuffle — each signal is per-doc), emitting every signal plus the
     final keep flag. The composition queries the same batch kernels
-    the standalone ops use, so the flags agree with them by
-    construction."""
-    q = quality_score_batch(batch)
-    r = repetition_stats_batch(batch)
-    l = lang_id_batch(batch)
+    the standalone ops use (so the flags agree with them by
+    construction) and tokenizes ONCE, passing the shared
+    ``_tokens_frame`` into all three."""
+    tok = _tokens_frame(batch) if batch.num_rows else None
+    q = quality_score_batch(batch, tok_df=tok)
+    r = repetition_stats_batch(batch, tok_df=tok)
+    l = lang_id_batch(batch, tok_df=tok)
     qd = {d: k for d, k in zip(q["doc_id"].to_pylist(),
                                q["keep"].to_pylist())}
     rd = {d: k for d, k in zip(r["doc_id"].to_pylist(),

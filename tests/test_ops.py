@@ -65,6 +65,24 @@ def test_repetition_stats_batch():
     assert dup[1] == top[2] == dup[2] == 0.0
 
 
+def test_chain_pairs_exact_above_2_53():
+    """Regression: the grouped-shift implementation promoted int64
+    doc_ids to float64 (NaN fill) and rounded ids above 2^53 on the
+    way back — 9007199254740993 became ...992. The adjacency-mask
+    implementation must keep 64-bit ids exact."""
+    from openie_backend_ray.ops.dedup import _bucket_pairs_part
+
+    a, b = 9007199254740993, 9007199254741003  # both > 2^53, distinct
+    g = pa.table(
+        {"band": pa.array([0, 0], pa.int32()),
+         "bucket": pa.array(["x", "x"], pa.string()),
+         "doc_id": pa.array([a, b], pa.int64())}
+    )
+    out = _bucket_pairs_part(g)
+    assert out["doc_a"].to_pylist() == [a]
+    assert out["doc_b"].to_pylist() == [b]
+
+
 def test_winnowing_coverage_property():
     """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
     token run of length >= w + k - 1 (= 6 here) share at least one
@@ -253,7 +271,8 @@ def test_real_decoder_is_stubbed():
 @pytest.mark.parametrize(
     "name",
     ["dedup_exact", "ann_topk", "pricing_summary", "events_daily",
-     "fingerprint"],
+     "fingerprint", "dedup_minhash_pairs", "winnow_fingerprints",
+     "winnow_pairs", "delta_dedup", "simhash_pairs"],
 )
 def test_oracle_parity_spot(ray_session, name):
     """Same comparison the driver runs: row count + sorted columns +
