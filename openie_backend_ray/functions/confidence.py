@@ -131,6 +131,13 @@ def score(
     z = 0.0
     for wi, fi in zip(w, f):
         z += wi * fi
+    # clamp before exp: unbounded length features (rel/arg token
+    # counts) times negative weights could push -z past exp's ~709
+    # domain limit (OverflowError) on a degenerate multi-thousand-token
+    # span.  +-700 stays inside the domain while leaving every
+    # representable sigmoid value bit-identical — the clamp only
+    # converts would-be crashes into the saturated 0.0/1.0
+    z = max(-700.0, min(700.0, z))
     return 1.0 / (1.0 + math.exp(-z))
 
 

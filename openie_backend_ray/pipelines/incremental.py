@@ -61,9 +61,18 @@ def anti_join_new_docs(docs_ds, ingested_ids_ref):
     )
 
 
+def relink_mask(sizes):
+    """The reference's relink sweet spot (IndexModifier.scala:89-97),
+    vectorized over a numpy int array — the ONE definition; the scalar
+    ``needs_relink`` and the pipeline's tag() both derive from it."""
+    import numpy as np
+
+    sizes = np.asarray(sizes)
+    return (sizes > 1) & ((sizes < 5) | (sizes % 2 == 0))
+
+
 def needs_relink(size: int) -> bool:
-    """The reference's relink sweet spot (IndexModifier.scala:89-97)."""
-    return size > 1 and (size < 5 or size % 2 == 0)
+    return bool(relink_mask([size])[0])
 
 
 def _group_key(a1: str, rl: str, a2: str) -> str:
@@ -118,37 +127,25 @@ def _regroup_touched(tagged_ds, max_instances: int = 40_000):
     for (cf. ``ParallelIndexModifier.scala:33-77``, where the merge
     reducer likewise knows which documents are new)."""
     from openie_backend_ray import schema as S
-    from openie_backend_ray.stages.postgroup import _head_index_key
-
-    def add_key(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("rkey", pa.array([], pa.string()))
-        keys = [
-            _head_index_key(insts)
-            for insts in batch["instances"].to_pylist()
-        ]
-        return batch.append_column("rkey", pa.array(keys, pa.string()))
+    from openie_backend_ray.stages.postgroup import (
+        merge_group_rows,
+        regroup_add_key,
+    )
 
     def merge(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from openie_backend_ray.stages.canonicalize import (
-            _merge_rows,
-            canon_order,
-        )
-
         touched = bool(pc.any(g["from_delta"]).as_py())
-        g = g.drop_columns(["rkey", "from_delta"])
-        row = _merge_rows(g, canon_order(g))
-        row["instances"] = row["instances"][:max_instances]
-        row["size"] = len(row["instances"])
+        row = merge_group_rows(
+            g.drop_columns(["rkey", "from_delta"]), max_instances
+        )
         t = pa.Table.from_pydict(
             {k: [row[k]] for k in row}, schema=S.GROUPS
         )
         return t.append_column("touched", pa.array([touched], pa.bool_()))
 
     return (
-        tagged_ds.map_batches(add_key, batch_format="pyarrow")
+        tagged_ds.map_batches(regroup_add_key, batch_format="pyarrow")
         .groupby("rkey")
         .map_groups(merge, batch_format="pyarrow")
     )
@@ -203,11 +200,9 @@ def incremental_update(
     def tag(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        sz = batch["size"]
-        sweet = pc.and_(
-            pc.greater(sz, 1),
-            pc.or_(pc.less(sz, 5),
-                   pc.equal(pc.bit_wise_and(sz, 1), 0)),
+        sweet = pa.array(
+            relink_mask(batch["size"].to_numpy(zero_copy_only=False)),
+            pa.bool_(),
         )
         flags = pc.and_(batch["touched"], sweet)
         return batch.drop_columns(["touched"]).append_column(

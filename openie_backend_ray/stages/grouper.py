@@ -118,8 +118,12 @@ def combine_batch(batch: pa.Table) -> pa.Table:
            ("key", "arg1_norm", "rel_norm", "arg2_norm",
             "instances_blob", "size", "raw_count")}
     for k, idxs in by_key.items():
-        insts = [all_insts[i] for i in idxs[:MAX_GROUP_INSTANCES]]
-        insts = _dedup_cap(insts)
+        # no arrival-order pre-truncation: _dedup_cap conf-sorts THEN
+        # caps, so a top-confidence instance past position 40k in a
+        # mega-key batch still wins — the semantics the hash oracle
+        # (fixtures/oracles.py g1: ordered rn <= 40000 AFTER the
+        # dedup window) verifies
+        insts = _dedup_cap([all_insts[i] for i in idxs])
         i0 = idxs[0]
         out["key"].append(k)
         out["arg1_norm"].append(a1n[i0])
@@ -218,9 +222,9 @@ def combine_rows(rows) -> pa.Table:
            ("key", "arg1_norm", "rel_norm", "arg2_norm",
             "instances_blob", "size", "raw_count")}
     for k, idxs in by_key.items():
-        insts = _dedup_cap(
-            [rows[i][2] for i in idxs[:MAX_GROUP_INSTANCES]]
-        )
+        # no pre-truncation — see combine_batch: _dedup_cap conf-sorts
+        # then caps, keeping oracle semantics for mega-key batches
+        insts = _dedup_cap([rows[i][2] for i in idxs])
         norms = rows[idxs[0]][1]
         out["key"].append(k)
         out["arg1_norm"].append(norms[0])

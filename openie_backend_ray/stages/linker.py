@@ -251,15 +251,26 @@ class LinkerActor:
             insts = pickle.loads(blob)
             head = insts[0]
             # context = the group's sentences (ScoobiEntityLinker.scala:
-            # 66-108), CAPPED at the first CONTEXT_MAX_SENTENCES
-            # instances: instances arrive confidence-sorted from the
-            # grouper, so the cap keeps the highest-signal sentences
-            # while bounding the per-row string/Counter build for
-            # degenerate 40k-instance head groups (multi-MB context
-            # strings otherwise)
+            # 66-108), CAPPED at the CONTEXT_MAX_SENTENCES
+            # HIGHEST-CONFIDENCE instances.  Selected explicitly with
+            # nlargest rather than relying on arrival order: the
+            # grouper path ships conf-sorted blobs, but the incremental
+            # relink path concatenates existing+delta row lists without
+            # re-sorting, so position != confidence there.  Bounds the
+            # per-row string/Counter build for degenerate 40k-instance
+            # head groups (multi-MB context strings otherwise).
+            if len(insts) > CONTEXT_MAX_SENTENCES:
+                import heapq
+
+                ctx_insts = heapq.nlargest(
+                    CONTEXT_MAX_SENTENCES, insts,
+                    key=lambda i: (i["confidence"],
+                                   " ".join(i["tokens"])),
+                )
+            else:
+                ctx_insts = insts
             sources = " ".join(
-                " ".join(i["tokens"])
-                for i in insts[:CONTEXT_MAX_SENTENCES]
+                " ".join(i["tokens"]) for i in ctx_insts
             )
             q = _terms(sources)
             qv = {

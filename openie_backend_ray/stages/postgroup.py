@@ -252,35 +252,47 @@ def _head_index_key(insts: list[dict]) -> str:
     return "__".join(k)
 
 
+def regroup_add_key(batch: pa.Table) -> pa.Table:
+    """Tag each GROUPS row with its head instance's index grouping key
+    (the G2 shuffle key).  Shared by ``regroup`` and the incremental
+    provenance-carrying variant so the two paths cannot drift."""
+    if batch.num_rows == 0:
+        return batch.append_column("rkey", pa.array([], pa.string()))
+    keys = [
+        _head_index_key(insts)
+        for insts in batch["instances"].to_pylist()
+    ]
+    return batch.append_column("rkey", pa.array(keys, pa.string()))
+
+
+def merge_group_rows(g: pa.Table, max_instances: int = 40_000) -> dict:
+    """Merge one rkey-group of GROUPS rows into a single row dict
+    (canonical member order, link preference, instance cap) — the ONE
+    G2 merge implementation; callers wrap it into a Table and may
+    append provenance columns."""
+    from openie_backend_ray.stages.canonicalize import (
+        _merge_rows,
+        canon_order,
+    )
+
+    row = _merge_rows(g, canon_order(g))
+    row["instances"] = row["instances"][:max_instances]
+    row["size"] = len(row["instances"])
+    return row
+
+
 def regroup(groups_ds, max_instances: int = 40_000):
     """Re-key GROUPS by the head instance's index grouping key and merge
     (used after unioning corpora or an incremental delta; prefers the
     member group that has an entity link, concat instances with cap)."""
-    def add_key(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("rkey", pa.array([], pa.string()))
-        keys = [
-            _head_index_key(insts)
-            for insts in batch["instances"].to_pylist()
-        ]
-        return batch.append_column("rkey", pa.array(keys, pa.string()))
-
     def merge(g: pa.Table) -> pa.Table:
-        from openie_backend_ray.stages.canonicalize import (
-            _merge_rows,
-            canon_order,
-        )
-
-        g = g.drop_columns(["rkey"])
-        row = _merge_rows(g, canon_order(g))
-        row["instances"] = row["instances"][:max_instances]
-        row["size"] = len(row["instances"])
+        row = merge_group_rows(g.drop_columns(["rkey"]), max_instances)
         return pa.Table.from_pydict(
             {k: [row[k]] for k in row}, schema=S.GROUPS
         )
 
     return (
-        groups_ds.map_batches(add_key, batch_format="pyarrow")
+        groups_ds.map_batches(regroup_add_key, batch_format="pyarrow")
         .groupby("rkey")
         .map_groups(merge, batch_format="pyarrow")
     )

@@ -106,7 +106,8 @@ def dedup_instances_legacy(
         key=lambda i: (
             -i["confidence"], " ".join(i["tokens"]),
             i["arg1"]["start"], i["rel"]["start"], i["arg2"]["start"],
-            i["arg2"]["end"], i["corpus"], i["source_url"],
+            i["arg1"]["end"], i["rel"]["end"], i["arg2"]["end"],
+            i["corpus"], i["source_url"],
         ),
     )
     fragments: set[str] = set()
