@@ -54,7 +54,9 @@ def _feature_keys(i: int, word: str, context: list[str],
     return [
         "bias",
         "i suffix " + word[-3:],
-        "i pref1 " + word[0],
+        # word[:1] not word[0]: whitespace runs in web text produce
+        # empty-string tokens (text.split(" ")) and must not crash
+        "i pref1 " + word[:1],
         "i-1 tag " + prev,
         "i-2 tag " + prev2,
         "i tag+i-2 tag " + prev + " " + prev2,
@@ -163,7 +165,20 @@ class PerceptronTagger:
         # for each window slot, so the hot loop never builds strings
         self._raw_ids: dict[str, tuple[int, ...]] = {}
         self._win_ids: dict[str, tuple[int, ...]] = {}
-        self._bias_id = self._feat_id.get("bias")
+        self._bias_id = self._ensure_bias_row()
+
+    def _ensure_bias_row(self) -> int:
+        """Row id of the "bias" feature, guaranteed present: weight
+        averaging drops zero-rounded rows, so a retrained model can
+        lose its bias weights entirely — append a sentinel all-zero
+        row in that case so the reduceat segments stay non-empty
+        without changing any score."""
+        j = self._feat_id.get("bias")
+        if j is None:
+            j = self._W.shape[0]
+            self._feat_id["bias"] = j
+            self._W = np.vstack([self._W, self._zero])
+        return j
 
     _CACHE_CAP = 1_000_000
 
@@ -192,7 +207,7 @@ class PerceptronTagger:
             t = tuple(
                 j
                 for j in (fget("i suffix " + word[-3:]),
-                          fget("i pref1 " + word[0]))
+                          fget("i pref1 " + word[:1]))  # ""-token safe
                 if j is not None
             )
             if len(self._raw_ids) >= self._CACHE_CAP:
@@ -438,7 +453,8 @@ class ChunkPerceptron:
         self._wslot: dict[str, tuple] = {}
         self._pcombo: dict[tuple[str, str, str], tuple[int, ...]] = {}
         self._wp: dict[tuple[str, str], int | None] = {}
-        self._bias_id = self._feat_id.get("bias")
+        # same averaged-away-bias guard as PerceptronTagger
+        self._bias_id = PerceptronTagger._ensure_bias_row(self)
 
     _CACHE_CAP = 1_000_000
 
