@@ -841,15 +841,24 @@ bands AS (
            AS bucket
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
 cand AS (
-  -- chain pairs: each bucket member pairs with its sorted-by-id
-  -- predecessor (matches ops.dedup._bucket_pairs: linear in bucket
-  -- size, near-dup runs stay connected)
-  SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
-  FROM (SELECT doc_id,
-               lag(doc_id) OVER (PARTITION BY band, bucket
-                                 ORDER BY doc_id) AS prev
-        FROM bands)
-  WHERE prev IS NOT NULL)
+  -- chain + star pairs (ops.dedup._chain_star_pairs): each bucket
+  -- member pairs with its sorted-by-id predecessor (chain: linear,
+  -- run-connected) AND with the bucket's min-id anchor (star:
+  -- anchor-adjacent recall); union deduped
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT prev AS doc_a, doc_id AS doc_b
+    FROM (SELECT doc_id,
+                 lag(doc_id) OVER (PARTITION BY band, bucket
+                                   ORDER BY doc_id) AS prev
+          FROM bands)
+    WHERE prev IS NOT NULL
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM (SELECT doc_id,
+                 first_value(doc_id) OVER (PARTITION BY band, bucket
+                                           ORDER BY doc_id) AS anchor
+          FROM bands)
+    WHERE anchor <> doc_id))
 """
 
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1088,12 +1097,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_WINNOW_CTE},
             e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
             cand AS (
-              SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
-              FROM (SELECT doc_id,
-                           lag(doc_id) OVER (PARTITION BY fp
-                                             ORDER BY doc_id) AS prev
-                    FROM e)
-              WHERE prev IS NOT NULL)
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT prev AS doc_a, doc_id AS doc_b
+                FROM (SELECT doc_id,
+                             lag(doc_id) OVER (PARTITION BY fp
+                                               ORDER BY doc_id) AS prev
+                      FROM e)
+                WHERE prev IS NOT NULL
+                UNION ALL
+                SELECT anchor AS doc_a, doc_id AS doc_b
+                FROM (SELECT doc_id,
+                             first_value(doc_id) OVER (
+                               PARTITION BY fp ORDER BY doc_id) AS anchor
+                      FROM e)
+                WHERE anchor <> doc_id))
             SELECT doc_a, doc_b FROM cand
         """,
         # delta-vs-store content dedup: per delta doc, how many of its
@@ -1547,13 +1564,22 @@ def oracle_sql() -> dict[str, str]:
               FROM sh64 s CROSS JOIN
                    (SELECT unnest(range(0, 4)) AS blk) b),
             cand AS (
-              -- chain pairs within each (block, value) bucket
-              SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
-              FROM (SELECT doc_id,
-                           lag(doc_id) OVER (PARTITION BY blk, bval
-                                             ORDER BY doc_id) AS prev
-                    FROM blocks)
-              WHERE prev IS NOT NULL)
+              -- chain + star pairs within each (block, value) bucket
+              SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT prev AS doc_a, doc_id AS doc_b
+                FROM (SELECT doc_id,
+                             lag(doc_id) OVER (PARTITION BY blk, bval
+                                               ORDER BY doc_id) AS prev
+                      FROM blocks)
+                WHERE prev IS NOT NULL
+                UNION ALL
+                SELECT anchor AS doc_a, doc_id AS doc_b
+                FROM (SELECT doc_id,
+                             first_value(doc_id) OVER (
+                               PARTITION BY blk, bval
+                               ORDER BY doc_id) AS anchor
+                      FROM blocks)
+                WHERE anchor <> doc_id))
             SELECT c.doc_a, c.doc_b
             FROM cand c
             JOIN sh64 va ON va.doc_id = c.doc_a

@@ -81,18 +81,49 @@ _MH_A = 2654435761  # Knuth multiplicative constants; a_p = A*p + 1
 _MH_B = 40503       # b_p = B*p + 7
 
 
-def _signature(sh: set, num_perm: int = NUM_PERM) -> list[str]:
+# vectorized permutation kernel: a_p = A*p+1 < 2^35, h < 2^52,
+# M = 2^61 - 1 (Mersenne).  a*h splits as a*(hi*2^26 + lo);
+# a*hi and a*lo both < 2^61 fit uint64, and (x * 2^26) mod M is the
+# Mersenne rotate ((x & (2^35-1)) << 26) + (x >> 35).  Exactness is
+# pinned against the scalar reference in test_ops.py.
+_MH_AP = np.array([_MH_A * p + 1 for p in range(NUM_PERM)],
+                  dtype=np.uint64)[:, None]
+_MH_BP = np.array([_MH_B * p + 7 for p in range(NUM_PERM)],
+                  dtype=np.uint64)[:, None]
+_MH_MOD_U = np.uint64(_MH_MOD)
+
+
+def _perm_mins(hs: np.ndarray) -> np.ndarray:
+    """(NUM_PERM,) mins of ((A*p+1)*h + (B*p+7)) mod (2^61-1) over the
+    uint64 hash array ``hs`` (each < 2^52), all in uint64 numpy."""
+    hi = hs >> np.uint64(26)
+    lo = hs & np.uint64((1 << 26) - 1)
+    t = _MH_AP * hi  # < 2^35 * 2^26 < M: no fold needed
+    t = ((t & np.uint64((1 << 35) - 1)) << np.uint64(26)) \
+        + (t >> np.uint64(35))
+    t = np.where(t >= _MH_MOD_U, t - _MH_MOD_U, t)
+    t = t + _MH_AP * lo + _MH_BP  # < M + 2^61 + 2^36 < 2^63
+    t = np.where(t >= _MH_MOD_U, t - _MH_MOD_U, t)
+    return t.min(axis=1)
+
+
+def _signature(sh: set, num_perm: int = NUM_PERM,
+               _hcache: dict | None = None) -> list[str]:
     """Decimal-string min of each permutation hash (str so the bucket
     md5 concat is engine-identical: DuckDB CAST(HUGEINT AS VARCHAR) ==
-    Python str(int))."""
-    hs = [
-        int(hashlib.md5(s.encode()).hexdigest()[:13], 16) for s in sh
-    ]
-    return [
-        str(min(((_MH_A * p + 1) * h + (_MH_B * p + 7)) % _MH_MOD
-                for h in hs))
-        for p in range(num_perm)
-    ]
+    Python str(int)).  ``_hcache`` memoizes shingle -> 52-bit md5
+    prefix across the caller's batch (near-dup corpora share most
+    shingles)."""
+    if _hcache is None:
+        _hcache = {}
+    hs = np.empty(len(sh), dtype=np.uint64)
+    for i, s in enumerate(sh):
+        h = _hcache.get(s)
+        if h is None:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+            _hcache[s] = h
+        hs[i] = h
+    return [str(int(v)) for v in _perm_mins(hs)[:num_perm]]
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
@@ -106,8 +137,9 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_pylist()
     rows_per_band = NUM_PERM // BANDS
     bands, buckets, ids = [], [], []
+    hcache: dict[str, int] = {}  # shingle->hash memo across the batch
     for did, toks in zip(doc_ids, toks_col):
-        sig = _signature(_shingles(toks))
+        sig = _signature(_shingles(toks), _hcache=hcache)
         for b in range(BANDS):
             chunk = "|".join(sig[b * rows_per_band:(b + 1) * rows_per_band])
             bands.append(b)
@@ -137,8 +169,10 @@ def _with_part_on(col: str):
     import pandas as pd
 
     def fn(b: pa.Table) -> pa.Table:
+        # native dtype: string cols hash as object (unchanged), int64
+        # cols hash vectorized — both deterministic across processes
         part = pd.util.hash_array(
-            b[col].to_pandas().to_numpy(dtype=object)
+            b[col].to_pandas().to_numpy()
         ) % _BUCKET_NPART
         return b.append_column("part", pa.array(part.astype("int64")))
 
@@ -165,18 +199,39 @@ def _chain_mask(df, keys: list[str]) -> "np.ndarray":
     return same
 
 
+def _chain_star_pairs(ids: np.ndarray, same: np.ndarray) -> tuple:
+    """CHAIN ∪ STAR pairs of each key run in an id-sorted frame, still
+    linear per bucket.  Chain (each member vs its predecessor) keeps
+    runs of mutual near-dups connected for the drop-doc_b rule; star
+    (each member vs the run's min-id anchor) restores the
+    anchor-adjacent recall chain alone loses — two near-dups separated
+    in id order by a non-dup bucket member ARE now jointly verified
+    against the anchor.  ``same`` is the ``_chain_mask`` adjacency
+    over rows 1..n-1; duplicates are dropped by the caller's
+    ``_distinct_pairs`` tail."""
+    if not len(ids):
+        return ids, ids
+    chain_a, chain_b = ids[:-1][same], ids[1:][same]
+    run_start = np.concatenate([[True], ~same])
+    run_id = np.cumsum(run_start) - 1
+    start_idx = np.flatnonzero(run_start)
+    anchors = ids[run_start][run_id]
+    # star emits only run positions >= 2: position 1's star pair IS its
+    # chain pair (predecessor == anchor), so the union stays dup-free
+    pos = np.arange(len(ids)) - start_idx[run_id]
+    star = pos >= 2
+    return (
+        np.concatenate([chain_a, anchors[star]]),
+        np.concatenate([chain_b, ids[star]]),
+    )
+
+
 def _bucket_pairs_part(g: pa.Table) -> pa.Table:
-    """All buckets of one hash partition at once — CHAIN pairs: each
-    bucket member pairs with its sorted-by-id predecessor.  Linear in
-    bucket size — a degenerate bucket of N identical docs emits N-1
-    pairs, not N^2/2, so no skew cap is needed — and unlike
-    star-vs-anchor pairs, a run of mutual near-dups stays CONNECTED
-    (every member is verified against a neighbor, not only against
-    the min-id anchor, so clean_corpus's drop-doc_b rule removes the
-    whole run).  Recall vs full pairwise is still approximate: two
-    near-dups separated in id order by a non-dup bucket member are
-    not emitted — the inherent LSH-candidate trade-off, stated here
-    rather than papered over."""
+    """All buckets of one hash partition at once — chain ∪ star pairs
+    per bucket (see ``_chain_star_pairs``): a degenerate bucket of N
+    identical docs emits <= 2(N-1) pairs, not N^2/2, so no skew cap is
+    needed, and both the run-connectivity and the anchor-adjacent
+    recall properties hold."""
     import pandas as pd
 
     df = pd.DataFrame(
@@ -186,10 +241,10 @@ def _bucket_pairs_part(g: pa.Table) -> pa.Table:
     ).drop_duplicates()
     df = df.sort_values(["band", "bucket", "doc_id"], kind="mergesort")
     same = _chain_mask(df, ["band", "bucket"])
-    ids = df["doc_id"].to_numpy()
+    a, b = _chain_star_pairs(df["doc_id"].to_numpy(), same)
     return pa.table(
-        {"doc_a": pa.array(ids[:-1][same], pa.int64()),
-         "doc_b": pa.array(ids[1:][same], pa.int64())}
+        {"doc_a": pa.array(a, pa.int64()),
+         "doc_b": pa.array(b, pa.int64())}
     )
 
 
@@ -428,40 +483,66 @@ def _tag_doc_shingles(b: pa.Table) -> pa.Table:
     )
 
 
-def _attach_shingles(g: pa.Table) -> pa.Table:
-    shs = g["shingles"].to_pylist()
-    doc_sh = next((s for s in shs if s is not None), None)
-    pids = [p for p in g["pair_id"].to_pylist() if p is not None]
-    if doc_sh is None or not pids:
-        return _JROW.empty_table()
+def _attach_shingles_part(g: pa.Table) -> pa.Table:
+    """One hash partition of jkeys at once: ONE vectorized pandas merge
+    hands each doc's shingle string to every pair-half that references
+    it (the per-key ``map_groups`` this replaces cost one Python task
+    per candidate DOC — the measured 250k-tiny-calls anti-pattern)."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"jkey": g["jkey"].to_numpy(zero_copy_only=False),
+         "pair_id": g["pair_id"].to_pandas(),
+         "shingles": g["shingles"].to_pandas()}
+    )
+    docs = df.loc[df["shingles"].notna(), ["jkey", "shingles"]]
+    docs = docs.drop_duplicates("jkey")
+    halves = df.loc[df["pair_id"].notna(), ["jkey", "pair_id"]]
+    m = halves.merge(docs, on="jkey", how="inner")
     return pa.table(
-        {"jkey": pa.array([g["jkey"][0].as_py()] * len(pids), pa.int64()),
-         "pair_id": pa.array(pids, pa.string()),
-         "shingles": pa.array([doc_sh] * len(pids), pa.string())},
+        {"jkey": pa.array(m["jkey"].to_numpy(), pa.int64()),
+         "pair_id": pa.array(m["pair_id"], pa.string()),
+         "shingles": pa.array(m["shingles"], pa.string())},
         schema=_JROW,
     )
 
 
-def _score_pair_group(g: pa.Table) -> pa.Table:
-    empty = pa.table(
-        {"doc_a": pa.array([], pa.int64()),
-         "doc_b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
-    )
-    if g.num_rows != 2:  # a half lost its doc (id absent) — drop pair
-        return empty
-    a_id, b_id = (int(x) for x in g["pair_id"][0].as_py().split("|"))
-    keys = g["jkey"].to_pylist()
-    shs = g["shingles"].to_pylist()
-    sa = set(shs[keys.index(a_id)].split(_SH_SEP))
-    sb = set(shs[keys.index(b_id)].split(_SH_SEP))
-    union = len(sa | sb)
-    # raw int/int division: bit-identical to the SQL oracle
-    jac = len(sa & sb) / union if union else 0.0
+def _score_pairs_part(g: pa.Table) -> pa.Table:
+    """One hash partition of pair_ids at once: sort by (pair_id, jkey)
+    so a complete pair's two halves are adjacent (doc_a < doc_b always,
+    so the a-half sorts first), mask the adjacency vectorized, then
+    compute set Jaccard only over complete pairs.  Pairs with a
+    missing half (doc absent from the input) drop, matching the old
+    per-pair num_rows != 2 rule."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"jkey": g["jkey"].to_numpy(zero_copy_only=False),
+         "pair_id": g["pair_id"].to_pandas(),
+         "shingles": g["shingles"].to_pandas()}
+    ).sort_values(["pair_id", "jkey"], kind="mergesort")
+    pid = df["pair_id"].to_numpy()
+    if len(pid) < 2:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    same = pid[1:] == pid[:-1]
+    keys = df["jkey"].to_numpy()
+    shs = df["shingles"].to_numpy()
+    a_id, b_id = keys[:-1][same], keys[1:][same]
+    jac = np.empty(len(a_id), dtype=np.float64)
+    for i, (sa_s, sb_s) in enumerate(zip(shs[:-1][same], shs[1:][same])):
+        sa = set(sa_s.split(_SH_SEP))
+        sb = set(sb_s.split(_SH_SEP))
+        union = len(sa | sb)
+        # raw int/int division: bit-identical to the SQL oracle
+        jac[i] = len(sa & sb) / union if union else 0.0
     return pa.table(
-        {"doc_a": pa.array([a_id], pa.int64()),
-         "doc_b": pa.array([b_id], pa.int64()),
-         "jaccard": pa.array([jac], pa.float64())}
+        {"doc_a": pa.array(a_id, pa.int64()),
+         "doc_b": pa.array(b_id, pa.int64()),
+         "jaccard": pa.array(jac, pa.float64())}
     )
 
 
@@ -470,10 +551,14 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5,
     """Candidate pairs -> exact k-shingle Jaccard >= threshold.
 
     The verify is a JOIN of the candidate pairs against the docs table
-    on doc_id — a union + groupby(doc_id) co-group (each doc's reducer
-    hands its shingle set to the pair-halves that reference it), then a
-    groupby(pair_id) that scores each pair from its two halves.  No
-    process ever holds the corpus.
+    on doc_id — a union + HASH-PARTITIONED co-group on doc_id (one
+    vectorized pandas merge per partition hands each doc's shingle set
+    to the pair-halves that reference it), then a hash-partitioned
+    co-group on pair_id that scores each pair from its two adjacent
+    halves.  Both shuffles move ``part``-bucketed rows, never one
+    Python task per key (the per-key ``map_groups`` this replaced was
+    the measured 6-10 s anti-pattern at sf0.1).  No process ever holds
+    the corpus.
 
     Semi-join prefilter (the bloom-filter-pushdown analogue): when the
     candidate ID set is small enough to broadcast (<= semijoin_max_ids
@@ -505,11 +590,14 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5,
                                    batch_format="pyarrow")
     joined = (
         pairs_t.union(docs_t)
-        .groupby("jkey")
-        .map_groups(_attach_shingles, batch_format="pyarrow")
+        .map_batches(_with_part_on("jkey"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_attach_shingles_part, batch_format="pyarrow")
     )
-    scored = joined.groupby("pair_id").map_groups(
-        _score_pair_group, batch_format="pyarrow"
+    scored = (
+        joined.map_batches(_with_part_on("pair_id"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_score_pairs_part, batch_format="pyarrow")
     )
     return scored.filter(expr=f"jaccard >= {threshold}")
 
@@ -570,13 +658,13 @@ def simhash_pairs(ds, max_hamming: int = 3):
                          "simhash": pa.array(full, pa.string())})
 
     def pairs_part(g: pa.Table) -> pa.Table:
-        """Chain pairs (each member vs its sorted-by-id predecessor —
-        skew-linear and run-connected, same rationale as
-        ``_bucket_pairs_part``), hamming-verified; one vectorized
+        """Chain ∪ star candidate pairs per (block, value) bucket (see
+        ``_chain_star_pairs`` — skew-linear, run-connected, and
+        anchor-adjacent-complete), hamming-verified; one vectorized
         pandas call per hash PARTITION of buckets, Python only over
-        the emitted candidate pairs.  Predecessors come from the
-        ``_chain_mask`` adjacency mask, never a grouped shift (int64
-        doc_ids survive exactly — see ``_chain_mask``)."""
+        the emitted candidate pairs.  Adjacency comes from the
+        ``_chain_mask`` mask, never a grouped shift (int64 doc_ids
+        survive exactly — see ``_chain_mask``)."""
         import pandas as pd
 
         df = pd.DataFrame(
@@ -589,12 +677,12 @@ def simhash_pairs(ds, max_hamming: int = 3):
                             kind="mergesort")
         same = _chain_mask(df, ["block", "block_val"])
         ids = df["doc_id"].to_numpy()
-        hs = df["simhash"].to_numpy()
-        pid, did = ids[:-1][same], ids[1:][same]
-        ph, h = hs[:-1][same], hs[1:][same]
+        hs = dict(zip(ids, df["simhash"].to_numpy()))
+        pid, did = _chain_star_pairs(ids, same)
         keep = pa.array(
-            [bin(int(x, 16) ^ int(y, 16)).count("1") <= max_hamming
-             for x, y in zip(ph, h)],
+            [bin(int(hs[x], 16) ^ int(hs[y], 16)).count("1")
+             <= max_hamming
+             for x, y in zip(pid, did)],
             pa.bool_(),
         )
         return pa.table(

@@ -593,3 +593,73 @@ def test_kg_entries_inside_driver_window():
         "top_tokens", "simhash",
     }
     assert set(order[50:]) <= allowed_tail
+
+
+def test_perm_mins_matches_scalar_reference():
+    """The uint64 Mersenne-rotate minhash kernel must equal the scalar
+    ((A*p+1)*h + (B*p+7)) mod (2^61-1) definition the SQL twin
+    reconstructs — exact, not approximate."""
+    import random
+
+    import numpy as np
+
+    from openie_backend_ray.ops.dedup import (
+        _MH_A, _MH_B, _MH_MOD, NUM_PERM, _perm_mins,
+    )
+
+    rng = random.Random(11)
+    for _ in range(50):
+        hs = [rng.randrange(0, 1 << 52)
+              for _ in range(rng.randrange(1, 64))]
+        want = [
+            min(((_MH_A * p + 1) * h + (_MH_B * p + 7)) % _MH_MOD
+                for h in hs)
+            for p in range(NUM_PERM)
+        ]
+        got = [int(v) for v in _perm_mins(np.array(hs, dtype=np.uint64))]
+        assert got == want
+
+
+def test_chain_star_pairs_union():
+    """Bucket [1, 5, 9]: chain gives (1,5),(5,9); star adds (1,9) —
+    the anchor-adjacent pair chain alone loses when 5 is a
+    hash-collision non-dup."""
+    import numpy as np
+
+    from openie_backend_ray.ops.dedup import _chain_mask, _chain_star_pairs
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": ["x", "x", "x", "y", "y"],
+                       "doc_id": [1, 5, 9, 2, 4]})
+    same = _chain_mask(df, ["k"])
+    a, b = _chain_star_pairs(df["doc_id"].to_numpy(), same)
+    got = set(zip(a.tolist(), b.tolist()))
+    assert got == {(1, 5), (5, 9), (1, 9), (2, 4)}
+    # empty input stays empty
+    a, b = _chain_star_pairs(np.array([], dtype=np.int64),
+                             np.zeros(0, dtype=bool))
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_clean_corpus_anti_join_path_matches_broadcast(ray_session):
+    """Above loser_broadcast_cap the loser ids must never be collected
+    on the driver; cap=0 forces the LEFT-ANTI co-group path, which
+    must be output-identical to the broadcast path."""
+    import ray.data as rd
+
+    from openie_backend_ray.ops.clean_corpus import clean_corpus
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in clean_corpus(ds).take_all()
+    )
+    ds2 = rd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+    b = sorted(
+        (r["doc_id"], r["n_tokens"])
+        for r in clean_corpus(ds2, loser_broadcast_cap=0).take_all()
+    )
+    assert a == b and len(a) > 0
