@@ -237,7 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.parquet as pq
 
         emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-        c_ref = ray.put(SIM.centroid_matrix(emb, 16))
+        c_ref = ray.put(SIM.centroid_matrix(emb))  # ceil(sqrt(n)) sampled
         return SIM.embedding_pairs_ivf(
             _read(sf_dir, "embeddings"), c_ref, threshold=0.35
         )
@@ -256,7 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
         q_ref = ray.put(SIM.query_matrix(emb, 10))
-        c_ref = ray.put(SIM.centroid_matrix(emb, 16))
+        c_ref = ray.put(SIM.centroid_matrix(emb))  # ceil(sqrt(n)) sampled
         return SIM.ann_ivf(
             _read(sf_dir, "embeddings"), q_ref, c_ref, k=10, nprobe=4
         )
@@ -1202,7 +1202,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pairs_ivf": f"""
             WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
-            c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+            -- ceil(sqrt(n)) centroids sampled by md5(vec_id) order
+            -- (ops.similarity.centroid_matrix)
+            c AS (SELECT vec_id AS cid, e AS ce FROM v
+                  QUALIFY row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                    <= CAST(ceil(sqrt((SELECT count(*) FROM v)))
+                            AS BIGINT)),
             assign AS (
               SELECT vec_id, e, cid AS bucket FROM (
                 SELECT v.vec_id, v.e, c.cid,
@@ -1234,7 +1240,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf": f"""
             WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
-            c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+            -- same sampled-sqrt(n) quantizer as embedding_pairs_ivf
+            c AS (SELECT vec_id AS cid, e AS ce FROM v
+                  QUALIFY row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                    <= CAST(ceil(sqrt((SELECT count(*) FROM v)))
+                            AS BIGINT)),
             q AS (SELECT vec_id AS qvec_id, e AS qe FROM v
                   WHERE vec_id < 10),
             assign AS (

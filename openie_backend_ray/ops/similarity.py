@@ -114,11 +114,49 @@ def query_matrix(emb_table: pa.Table, n_queries: int = 10):
 # IVF variant (scale path)
 # ---------------------------------------------------------------------------
 
-def centroid_matrix(emb_table: pa.Table, n_centroids: int = 16):
-    """Deterministic coarse quantizer: embeddings of the ``n_centroids``
-    lowest vec_ids act as centroids (no kmeans iteration — the point is
-    the partitioned search shape, and determinism for the oracle)."""
-    return query_matrix(emb_table, n_centroids)
+def centroid_matrix(emb_table: pa.Table, n_centroids: int | None = None):
+    """Deterministic coarse quantizer: centroids are a seeded SAMPLE of
+    the corpus — the first ``n_centroids`` vectors in md5(vec_id)
+    order (vec_id tie-break), i.e. a uniform deterministic draw, not
+    the first-N ids (which at scale are one ingest shard and bucket
+    nothing).  ``n_centroids`` defaults to ceil(sqrt(n)) so in-bucket
+    exact pairwise work is O(n^2 / sqrt(n)^2) = O(n) in expectation
+    instead of quadratic (the FAISS IVF sizing rule of thumb).  No
+    kmeans iteration: a Lloyd pass would improve balance but break the
+    exact SQL twin; skew is observable via ``ivf_bucket_stats``.
+
+    At 100 TB the sample comes from a streaming ``ds.map_batches`` +
+    per-block top-k by md5 instead of an in-memory table — same
+    definition, same result."""
+    import hashlib
+    import math
+
+    n = emb_table.num_rows
+    if n_centroids is None:
+        n_centroids = max(1, int(math.ceil(math.sqrt(n))))
+    ids = emb_table["vec_id"].to_pylist()
+    order = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(),
+                       ids[i]),
+    )[:n_centroids]
+    sel = emb_table.take(pa.array(order, pa.int64()))
+    cid = np.asarray(sel["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(sel["embedding"].to_pylist(), dtype=np.float64)
+    # re-sort by vec_id so bucket index == rank among sampled ids,
+    # matching the SQL twin's dense_rank-free join on cid
+    srt = np.argsort(cid)
+    return cid[srt], _norm_rows(mat[srt])
+
+
+def ivf_bucket_stats(assigned) -> pa.Table:
+    """(bucket, n_vectors) histogram of an ``IvfAssigner`` output —
+    the skew observable the quantizer docstring promises."""
+    df = assigned.groupby("bucket").count().to_pandas()
+    return pa.table(
+        {"bucket": pa.array(df["bucket"].to_numpy(), pa.int32()),
+         "n_vectors": pa.array(df["count()"].to_numpy(), pa.int64())}
+    )
 
 
 class IvfAssigner:

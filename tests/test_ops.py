@@ -663,3 +663,35 @@ def test_clean_corpus_anti_join_path_matches_broadcast(ray_session):
         for r in clean_corpus(ds2, loser_broadcast_cap=0).take_all()
     )
     assert a == b and len(a) > 0
+
+
+def test_centroid_matrix_sqrt_sample():
+    """Quantizer: defaults to ceil(sqrt(n)) centroids drawn by
+    md5(vec_id) order (deterministic sample, NOT the first-N ids),
+    returned sorted by vec_id."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from openie_backend_ray.ops.similarity import centroid_matrix
+
+    n = 200
+    rng = np.random.default_rng(5)
+    tbl = pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array(rng.normal(size=(n, 8)).tolist(),
+                               pa.list_(pa.float64()))}
+    )
+    ids, mat = centroid_matrix(tbl)
+    k = math.ceil(math.sqrt(n))
+    assert len(ids) == k and mat.shape == (k, 8)
+    assert list(ids) == sorted(ids)
+    want = sorted(range(n),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                 i))[:k]
+    assert set(ids) == set(want)
+    # sample is not the first-N prefix (the old degenerate quantizer)
+    assert set(ids) != set(range(k))
+    # rows are L2-normalized
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)
