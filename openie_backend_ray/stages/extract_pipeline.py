@@ -9,14 +9,34 @@ owns the pool it is given, and the per-batch combiner still sees a full
 document block's extractions. The reference fuses exactly the same way
 when it chains grouper work into one job
 (``hadoop/.../ScoobiReVerbGrouperLinker.scala:20-33``).
+
+Why the TEXT-KEYED template memo: web corpora are duplication-heavy
+(the very reason the dedup ops family exists — the sf bench corpus is
+571,880 sentences over 8,535 uniques, 67x). A sentence's layers AND its
+extractions are a pure function of its text (lexicon + model state are
+fixed per actor), so the fused path memoizes ``text -> [(key, norms,
+instance)]`` directly and the per-occurrence cost collapses to one dict
+hit. This also removes the old fused path's Arrow round-trip: building
+a tokens/postags/chunks list-table only to ``to_pylist`` it straight
+back cost ~1s per 9k-sentence block (profiled at sf0.1).
+
+Instances in this fused path always carry ``source_url=""`` — the
+interleaved documents table has no per-sentence URL (the reference's
+``[sentence, url]`` line input maps to span rows without provenance
+URLs, ``sources/interleaved.py``), which is also why the memoized
+instance templates are shareable verbatim across occurrences. If a
+corpus with real URLs is ever fed through, use the unfused stages
+(chunker -> extract_batch) whose instances take per-row URLs.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 
-from openie_backend_ray.stages.chunker import ChunkerActor
-from openie_backend_ray.stages.extractor import extract_rows
+from openie_backend_ray.functions import confidence
+from openie_backend_ray.functions.normalize import index_key, key_string
+from openie_backend_ray.functions.reverb import extract
+from openie_backend_ray.stages.chunker import ChunkerActor, model_layers
 from openie_backend_ray.stages.grouper import combine_rows
 from openie_backend_ray.stages.sentences import explode_text_spans
 
@@ -25,19 +45,59 @@ class ExtractCombineActor(ChunkerActor):
     """documents batch -> BLOB_GROUPS partial rows (M1+M2+M5+M6+G1 map
     side). Lexicon/model state loads once per actor (A1/A2)."""
 
+    _XMEMO_CAP = 200_000
+
     def __init__(self, lexicon_ref=None, lexicon=None,
                  corpus: str = "corpus"):
         super().__init__(lexicon_ref=lexicon_ref, lexicon=lexicon)
         self.corpus = corpus
-        # per-actor sentence-level extraction memo (see extract_rows)
-        self._memo: dict = {}
+        # text -> [(key_string, key_tuple, instance_template)]; one
+        # entry per UNIQUE sentence, templates shared by reference
+        # across occurrences (see module docstring). Separate from
+        # ChunkerActor._memo by design: the layers memo serves the
+        # standalone chunker stage, this one subsumes it here.
+        self._xmemo: dict[str, list] = {}
+
+    def _extract_text(self, s: str) -> list:
+        """Layers + ReVerb + key + confidence for ONE unique sentence."""
+        hit = self._lex.get(s)
+        if hit is None:
+            hit = model_layers(
+                s, tagger=self._tagger, chunk_tagger=self._chunker
+            )
+        toks, tags, chks = hit
+        found = []
+        if len(toks) == len(tags) == len(chks):
+            for (a1, r, a2) in extract(toks, tags, chks):
+                k = index_key(toks, tags, a1, r, a2)
+                if not (k[0] and k[1] and k[2]):
+                    continue
+                conf = confidence.score(toks, tags, a1, r, a2)
+                inst = {
+                    "tokens": toks, "postags": tags, "chunks": chks,
+                    "arg1": {"start": a1[0], "end": a1[1]},
+                    "rel": {"start": r[0], "end": r[1]},
+                    "arg2": {"start": a2[0], "end": a2[1]},
+                    "source_url": "", "corpus": self.corpus,
+                    "confidence": conf,
+                }
+                found.append((key_string(k), k, inst))
+        return found
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sentences = explode_text_spans(batch)
-        chunked = super().__call__(sentences)
-        return combine_rows(
-            extract_rows(chunked, corpus=self.corpus, memo=self._memo)
-        )
+        texts = sentences["text"].to_pylist()
+        xm = self._xmemo
+        rows: list = []
+        for s in texts:
+            found = xm.get(s)
+            if found is None:
+                found = self._extract_text(s)
+                if len(xm) >= self._XMEMO_CAP:
+                    xm.clear()  # epoch eviction, O(1) amortized
+                xm[s] = found
+            rows.extend(found)
+        return combine_rows(rows)
 
 
 def extract_and_combine(docs_ds, lexicon_ref=None, corpus: str = "corpus",
