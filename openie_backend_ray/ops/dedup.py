@@ -309,7 +309,10 @@ def winnow_fingerprints_batch(batch: pa.Table, k: int = WINNOW_K,
             ids_out.append(did)
             fps.append(fp)
     return pa.table(
-        {"doc_id": pa.array(ids_out, pa.int64()),
+        # doc_id keeps its input type: the sf tables use int64, the
+        # incremental ingest pipeline uses string ids — both flow
+        # through the fp co-group unchanged
+        {"doc_id": pa.array(ids_out, batch["doc_id"].type),
          "fp": pa.array(fps, pa.string())}
     )
 
@@ -345,7 +348,25 @@ def winnow_pairs(ds, k: int = WINNOW_K, w: int = WINNOW_W):
     return _distinct_pairs(cand)
 
 
-def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W):
+def materialize_store_fingerprints(store_ds, path: str,
+                                   k: int = WINNOW_K,
+                                   w: int = WINNOW_W) -> str:
+    """Winnow the store corpus ONCE and write the (doc_id, fp) table as
+    partitioned parquet. The incremental ingest path then feeds
+    ``ray.data.read_parquet(path)`` to ``delta_dedup(...,
+    store_is_fingerprints=True)`` on every delta batch instead of
+    re-winnowing the full store — at 100 TB the store side becomes a
+    column-pruned parquet scan of ~2/(w+1) of the gram hashes. The
+    table is append-only: ingested deltas winnow themselves into it
+    (same columns), mirroring how the reference's ingester folds new
+    groups into the index it later diffs against
+    (``hadoop/.../lucene/Ingester.scala:45-121``)."""
+    winnow_fingerprints(store_ds, k, w).write_parquet(path)
+    return path
+
+
+def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W,
+                store_is_fingerprints: bool = False):
     """Incremental-ingest dedup: which DELTA docs share a winnowed
     fingerprint with the existing STORE corpus. Returns one row per
     FLAGGED delta doc (doc_id, n_shared distinct fingerprints) — the
@@ -357,13 +378,16 @@ def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W):
     Shape: both sides stream through the winnowing map; the only
     all-to-all is ONE fingerprint-hash-partitioned co-group (side-
     tagged union — the typer's J2 pattern), then a per-delta-doc sum
-    with a map-side Arrow combiner. The store side is never collected:
-    at 100 TB the store fingerprints would be a precomputed parquet
-    table and this op reads it instead of re-winnowing."""
+    with a map-side Arrow combiner. The store side is never collected;
+    with ``store_is_fingerprints=True`` it is a PRECOMPUTED (doc_id,
+    fp) table — ``materialize_store_fingerprints`` — and skips the
+    winnowing map entirely (the 100 TB path: the store re-winnows once
+    per corpus, not once per delta batch)."""
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
-            fp = winnow_fingerprints_batch(b, k, w)
+            fp = (b if side == 1 and store_is_fingerprints
+                  else winnow_fingerprints_batch(b, k, w))
             return pa.table(
                 {"fp": fp["fp"],
                  "doc_id": fp["doc_id"],

@@ -151,6 +151,42 @@ def _regroup_touched(tagged_ds, max_instances: int = 40_000):
     )
 
 
+def drop_near_dup_deltas(delta_docs_ds, store_fingerprints_ds,
+                         min_shared: int = 1):
+    """Content-level delta dedup against the store's PRECOMPUTED
+    winnowed-fingerprint table (``ops.dedup
+    .materialize_store_fingerprints``): delta docs sharing >=
+    ``min_shared`` fingerprints with the store are dropped before
+    extraction. The flagged-id collection is bounded by the ingest
+    batch (flagged ids are a subset of the delta), the same budget as
+    ``relink_keys`` — the store side itself streams through the
+    fp-partitioned co-group and is never collected."""
+    import ray
+
+    from openie_backend_ray.ops.dedup import delta_dedup
+
+    flagged = delta_dedup(
+        delta_docs_ds, store_fingerprints_ds, store_is_fingerprints=True
+    )
+    ids = {
+        r["doc_id"]
+        for r in flagged.filter(
+            expr=f"n_shared >= {int(min_shared)}"
+        ).select_columns(["doc_id"]).take_all()
+    }
+    ids_ref = ray.put(ids)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        dup = ray.get(ids_ref)
+        mask = pa.array(
+            [d not in dup for d in batch["doc_id"].to_pylist()],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return delta_docs_ds.map_batches(drop, batch_format="pyarrow")
+
+
 def incremental_update(
     existing_groups_ds,
     incoming_docs_ds,
@@ -159,6 +195,7 @@ def incremental_update(
     side_tables_ref=None,
     corpus: str = "news",
     return_relink_keys: bool = True,
+    store_fingerprints_ds=None,
 ):
     """existing triples + incoming docs -> merged triples (G11).
 
@@ -167,10 +204,17 @@ def incremental_update(
     doc_ids to the lineage table, and records ``relink_keys`` in the
     shard manifest.  ``relink_keys`` is the only driver-side collection
     (bounded by the ingest batch); pass ``return_relink_keys=False`` to
-    skip it entirely on huge backfill deltas."""
+    skip it entirely on huge backfill deltas.
+
+    ``store_fingerprints_ds``: the store's precomputed winnowed
+    fingerprints (``materialize_store_fingerprints`` output, read back
+    with ``ray.data.read_parquet``); when given, near-duplicate delta
+    docs are dropped at content level before extraction."""
     from openie_backend_ray.pipelines.flagship import run_flagship
 
     delta_docs = anti_join_new_docs(incoming_docs_ds, ingested_ids_ref)
+    if store_fingerprints_ds is not None:
+        delta_docs = drop_near_dup_deltas(delta_docs, store_fingerprints_ds)
     delta_groups = run_flagship(
         delta_docs,
         lexicon_ref=lexicon_ref,

@@ -126,6 +126,50 @@ def test_delta_dedup_flags_store_overlap(ray_session):
     assert out["n_shared"].iloc[0] >= 1
 
 
+def test_delta_dedup_precomputed_store_fps(ray_session, tmp_path):
+    """materialize_store_fingerprints + store_is_fingerprints=True ==
+    the re-winnowing path, and the incremental pipeline's content
+    dedup drops exactly the flagged delta docs."""
+    import ray
+
+    from openie_backend_ray.ops.dedup import (
+        delta_dedup,
+        materialize_store_fingerprints,
+    )
+    from openie_backend_ray.pipelines.incremental import (
+        drop_near_dup_deltas,
+    )
+
+    store = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["p q r s t u v w x y",
+                           "m n o zz yy xx ww vv"])}
+    )
+    delta = pa.table(
+        {"doc_id": pa.array([10, 11], pa.int64()),
+         "text": pa.array(["a b c r s t u v w d e",
+                           "totally fresh delta content here only"])}
+    )
+    fps_path = str(tmp_path / "store_fps")
+    materialize_store_fingerprints(ray.data.from_arrow(store), fps_path)
+
+    rewinnow = delta_dedup(
+        ray.data.from_arrow(delta), ray.data.from_arrow(store)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    precomp = delta_dedup(
+        ray.data.from_arrow(delta),
+        ray.data.read_parquet(fps_path),
+        store_is_fingerprints=True,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(rewinnow, precomp)
+    assert list(precomp["doc_id"]) == [10]
+
+    kept = drop_near_dup_deltas(
+        ray.data.from_arrow(delta), ray.data.read_parquet(fps_path)
+    ).to_pandas()
+    assert list(kept["doc_id"]) == [11]
+
+
 def test_quality_gate_agrees_with_components():
     from openie_backend_ray.ops.textstats import (
         lang_id_batch,
