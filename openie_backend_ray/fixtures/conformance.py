@@ -95,3 +95,54 @@ def precision_recall(
         return 0.0, 0.0
     inter = len(produced & expected)
     return inter / len(produced), inter / len(expected)
+
+
+def link_diff_stats(before_rows, after_rows) -> dict:
+    """Port of the reference's LinkerTest before/after link diff
+    (``hadoop/src/main/scala/edu/knowitall/browser/entity/
+    LinkerTest.scala:12-66``): per-arg Before/After/New/Lost/Changed
+    link counts with evidence, joining groups on the (arg1_norm,
+    rel_norm, arg2_norm) identity. ``*_rows`` are iterables of dicts
+    with arg{1,2}_norm/rel_norm and arg{1,2}_entity (entity = dict
+    with name/fbid, or None). Returns
+    ``{"total_groups", "arg1": {...}, "arg2": {...}}`` where each arg
+    dict carries before/after/new/lost/changed counts plus
+    new/lost/changed evidence lists — the regression signal that makes
+    linker drift between rounds visible."""
+
+    def key(r):
+        return (r["arg1_norm"], r["rel_norm"], r["arg2_norm"])
+
+    after_by_key = {key(r): r for r in after_rows}
+
+    def part_stats():
+        return {"before": 0, "after": 0, "new": 0, "lost": 0,
+                "changed": 0, "new_evidence": [], "lost_evidence": [],
+                "changed_evidence": []}
+
+    stats = {"total_groups": 0, "arg1": part_stats(), "arg2": part_stats()}
+    for b in before_rows:
+        a = after_by_key.get(key(b))
+        if a is None:
+            continue
+        stats["total_groups"] += 1
+        for arg, norm in (("arg1", b["arg1_norm"]), ("arg2", b["arg2_norm"])):
+            s = stats[arg]
+            bef, aft = b[f"{arg}_entity"], a[f"{arg}_entity"]
+            if bef is not None:
+                s["before"] += 1
+            if aft is not None:
+                s["after"] += 1
+            if bef is None and aft is not None:
+                s["new"] += 1
+                s["new_evidence"].append((norm, aft["name"]))
+            elif bef is not None and aft is None:
+                s["lost"] += 1
+                s["lost_evidence"].append((norm, bef["name"]))
+            elif (bef is not None and aft is not None
+                  and bef["fbid"] != aft["fbid"]):
+                s["changed"] += 1
+                s["changed_evidence"].append(
+                    ((norm, bef["name"]), (norm, aft["name"]))
+                )
+    return stats
