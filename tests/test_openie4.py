@@ -175,7 +175,8 @@ def test_chunk_srl_frames_and_triplize():
     tags = ["NNP", "VBD", "NNP", "DT", "NN", "IN", "NNP", "."]
     chks = ["B-NP", "B-VP", "B-NP", "B-NP", "I-NP", "B-PP", "B-NP", "O"]
     frames = ChunkSrl().frames(toks, tags, chks)
-    assert len(frames) == 1
+    # main n-ary frame + the V+W*+P bridge variant for "in Paris"
+    assert len(frames) == 2
     f = frames[0]
     assert toks[f.arg1[0]: f.arg1[1]] == ["Obama"]
     assert toks[f.rel[0]: f.rel[1]] == ["gave"]
@@ -185,6 +186,9 @@ def test_chunk_srl_frames_and_triplize():
     assert f.confidence == 0.6
     triples = f.triplize()
     assert [t.arg2s[0] for t in triples] == f.arg2s
+    v = frames[1]
+    assert " ".join(toks[v.rel[0]: v.rel[1]]) == "gave Mary a book in"
+    assert [" ".join(toks[s:e]) for s, e in v.arg2s] == ["Paris"]
 
     # no chunks / no NP before the verb -> no frames
     assert ChunkSrl().frames(toks, tags, None) == []
