@@ -709,6 +709,26 @@ def test_clean_corpus_anti_join_path_matches_broadcast(ray_session):
     assert a == b and len(a) > 0
 
 
+def test_ngram_jaccard_broadcast_matches_cogroup(ray_session):
+    """The broadcast verify (zero-shuffle small path) must score
+    exactly like the partitioned co-group; broadcast_docs_cap=0 forces
+    the co-group path on the same input."""
+    import ray.data as rd
+
+    from openie_backend_ray.ops.dedup import ngram_jaccard_pairs
+
+    def run(**kw):
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(ds, **kw).take_all()
+        )
+
+    fast, slow = run(), run(broadcast_docs_cap=0)
+    assert fast == slow and len(fast) > 0
+
+
 def test_centroid_matrix_sqrt_sample():
     """Quantizer: defaults to ceil(sqrt(n)) centroids drawn by
     md5(vec_id) order (deterministic sample, NOT the first-N ids),
