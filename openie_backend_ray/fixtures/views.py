@@ -304,7 +304,8 @@ def project_blob_groups(batch: pa.Table) -> pa.Table:
                 [t["confidence"] for t in top], pa.float64()
             ),
             "top_sentence": pa.array(
-                [" ".join(t["tokens"]) for t in top], pa.string()
+                [t["tokens"] if isinstance(t["tokens"], str)
+                 else " ".join(t["tokens"]) for t in top], pa.string()
             ),
             "top_source_url": pa.array(
                 [t["source_url"] for t in top], pa.string()

@@ -69,16 +69,14 @@ def extract_and_group(
     )
     from openie_backend_ray.stages.grouper import (
         finalize_groups,
-        merge_blob_groups,
+        merge_blob_shuffle,
     )
 
     partial = extract_and_combine(
         docs_ds, lexicon_ref=lexicon_ref, corpus=corpus,
         concurrency=chunker_concurrency,
     )
-    merged = partial.groupby("key").map_groups(
-        merge_blob_groups, batch_format="pyarrow"
-    )
+    merged = merge_blob_shuffle(partial)
     return merged.map_batches(finalize_groups, batch_format="pyarrow")
 
 
@@ -111,15 +109,13 @@ def run_flagship(
     from openie_backend_ray.stages.extract_pipeline import (
         extract_and_combine,
     )
-    from openie_backend_ray.stages.grouper import merge_blob_groups
+    from openie_backend_ray.stages.grouper import merge_blob_shuffle
 
     partial = extract_and_combine(
         docs_ds, lexicon_ref=lexicon_ref, corpus=corpus,
         concurrency=chunker_concurrency,
     )
-    blobs = partial.groupby("key").map_groups(
-        merge_blob_groups, batch_format="pyarrow"
-    )
+    blobs = merge_blob_shuffle(partial)
     if side_tables_ref is not None:
         groups = link_groups(blobs, side_tables_ref, linker_concurrency)
     else:

@@ -84,7 +84,7 @@ def _groups_to_blobs(batch: pa.Table) -> pa.Table:
     re-enter the linker actor pool."""
     import pickle
 
-    from openie_backend_ray.stages.grouper import BLOB_GROUPS
+    from openie_backend_ray.stages.grouper import BLOB_GROUPS, _inst_pack
 
     a1 = batch["arg1_norm"].to_pylist()
     rl = batch["rel_norm"].to_pylist()
@@ -98,7 +98,8 @@ def _groups_to_blobs(batch: pa.Table) -> pa.Table:
             "rel_norm": rl,
             "arg2_norm": a2,
             "instances_blob": [
-                pickle.dumps(x, protocol=4) for x in insts
+                pickle.dumps([_inst_pack(i) for i in x], protocol=4)
+                for x in insts
             ],
             "size": sizes,
             "raw_count": [int(s) for s in sizes],

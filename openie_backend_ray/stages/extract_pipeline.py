@@ -73,8 +73,11 @@ class ExtractCombineActor(ChunkerActor):
                 if not (k[0] and k[1] and k[2]):
                     continue
                 conf = confidence.score(toks, tags, a1, r, a2)
+                # blob-internal joined-string layer form (see
+                # grouper._inst_pack): built directly, no list copy
                 inst = {
-                    "tokens": toks, "postags": tags, "chunks": chks,
+                    "tokens": " ".join(toks), "postags": " ".join(tags),
+                    "chunks": " ".join(chks),
                     "arg1": {"start": a1[0], "end": a1[1]},
                     "rel": {"start": r[0], "end": r[1]},
                     "arg2": {"start": a2[0], "end": a2[1]},

@@ -61,20 +61,54 @@ BLOB_GROUPS = pa.schema(
 )
 
 
+# BLOB-INTERNAL INSTANCE LAYOUT: between the combiner and
+# finalize/link, an instance's ``tokens``/``postags``/``chunks`` are
+# single SPACE-JOINED STRINGS, not lists.  A 20-token instance
+# pickles as 3 string objects instead of ~60, which is the difference
+# between a 12.5 s and a ~2 s hot-key reduce task at sf0.1 (the
+# unpickle of a 126k-instance head key dominated the G1 reduce), and
+# the dedup sort/sig keys need no per-instance join.  Tokens are
+# whitespace-split upstream so join+split is lossless.
+# ``_inst_unpack`` restores the list form for the GROUPS schema.
+
+
+def _inst_pack(inst: dict) -> dict:
+    """List-form instance -> blob-internal joined-string form."""
+    out = dict(inst)
+    for f in ("tokens", "postags", "chunks"):
+        v = out[f]
+        if not isinstance(v, str):
+            out[f] = " ".join(v)
+    return out
+
+
+def _inst_unpack(inst: dict) -> dict:
+    """Blob-internal instance -> GROUPS-schema list form (fresh dict;
+    blob instances may be shared memo templates upstream)."""
+    out = dict(inst)
+    for f in ("tokens", "postags", "chunks"):
+        v = out[f]
+        if isinstance(v, str):
+            out[f] = v.split(" ") if v else []
+    return out
+
+
 def _inst_sort_key(x: dict):
     # full tiebreak down to corpus/url: instances that tie on every
     # ranking field must still order deterministically, or which of two
     # equal-sig duplicates survives dedup would depend on the partition
     # layout (hypothesis-found class of bug, see canonicalize.canon_order)
-    return (-x["confidence"], " ".join(x["tokens"]),
+    t = x["tokens"]
+    return (-x["confidence"], t if isinstance(t, str) else " ".join(t),
             x["arg1"]["start"], x["rel"]["start"], x["arg2"]["start"],
             x["arg1"]["end"], x["rel"]["end"], x["arg2"]["end"],
             x["corpus"], x["source_url"])
 
 
 def _inst_sig(inst: dict):
+    t = inst["tokens"]
     return (
-        " ".join(inst["tokens"]), inst["corpus"],
+        t if isinstance(t, str) else " ".join(t), inst["corpus"],
         inst["arg1"]["start"], inst["arg1"]["end"],
         inst["rel"]["start"], inst["rel"]["end"],
         inst["arg2"]["start"], inst["arg2"]["end"],
@@ -83,29 +117,39 @@ def _inst_sig(inst: dict):
 
 def _dedup_cap(insts: list[dict]) -> list[dict]:
     """Set semantics (ExtractionGroup.scala:45) + deterministic order
-    (confidence desc, then text) + the 40k cap."""
-    seen = set()
-    out = []
-    for inst in sorted(insts, key=_inst_sort_key):
+    (confidence desc, then text) + the 40k cap.  Dedup-FIRST (per-sig
+    best by the sort key), then sort only the survivors — identical
+    output to sort-then-dedup-then-cap, but the sort never sees
+    duplicate copies (dup-heavy corpora are the common case)."""
+    best: dict = {}
+    for inst in insts:
+        sk = _inst_sort_key(inst)
         sig = _inst_sig(inst)
-        if sig in seen:
-            continue
-        seen.add(sig)
-        out.append(inst)
-        if len(out) >= MAX_GROUP_INSTANCES:
-            break
-    return out
+        cur = best.get(sig)
+        if cur is None or sk < cur[0]:
+            best[sig] = (sk, inst)
+    ordered = sorted(best.values(), key=lambda p: p[0])
+    return [inst for _, inst in ordered[:MAX_GROUP_INSTANCES]]
 
 
 def combine_batch(batch: pa.Table) -> pa.Table:
     """Map-side combiner: one partial-group row per key per batch."""
     if batch.num_rows == 0:
         return BLOB_GROUPS.empty_table()
+    import pyarrow.compute as pc
+
     # one zip pass builds every instance dict (3x faster than per-cell
-    # column indexing, profiled on the fixture corpus)
+    # column indexing, profiled on the fixture corpus); the three
+    # token-layer list columns join to the blob-internal string form
+    # with the vectorized binary_join kernel
+    def col(c):
+        if c in ("tokens", "postags", "chunks"):
+            return pc.binary_join(batch[c], " ").to_pylist()
+        return batch[c].to_pylist()
+
     all_insts = [
         dict(zip(_INSTANCE_COLS, vals))
-        for vals in zip(*(batch[c].to_pylist() for c in _INSTANCE_COLS))
+        for vals in zip(*(col(c) for c in _INSTANCE_COLS))
     ]
     keys = batch["key"].to_pylist()
     a1n = batch["arg1_norm"].to_pylist()
@@ -167,12 +211,75 @@ def merge_blob_groups(t: pa.Table, drop: bool = True) -> pa.Table:
     )
 
 
+def _merge_blob_part(g: pa.Table, group_cols: tuple[str, ...] = ("key",),
+                     drop: bool = True) -> pa.Table:
+    """ONE HASH PARTITION of keys at once: every key's partial rows
+    merge inside a single Python call (same semantics as
+    ``merge_blob_groups`` per key — raw-sum drop, single-row
+    passthrough, dedup+cap merge).  Replaces the per-key ``map_groups``
+    reducer, which cost one Ray group slice + one 1-row Arrow table per
+    key (13k keys = the measured 13 s reducer wall at sf0.1; the
+    partition form is one call per partition)."""
+    cols = {c: g[c].to_pylist()
+            for c in ("key", "arg1_norm", "rel_norm", "arg2_norm",
+                      "instances_blob", "size", "raw_count")}
+    extra = [g[c].to_pylist() for c in group_cols if c != "key"]
+    by: dict = {}
+    gk = (list(zip(cols["key"], *extra)) if extra else cols["key"])
+    for i, kt in enumerate(gk):
+        by.setdefault(kt, []).append(i)
+    out = {k2: [] for k2 in
+           ("key", "arg1_norm", "rel_norm", "arg2_norm",
+            "instances_blob", "size", "raw_count")}
+    for idxs in by.values():
+        raw = sum(cols["raw_count"][i] for i in idxs)
+        if drop and raw > MAX_RAW_GROUP:
+            continue
+        i0 = idxs[0]
+        if len(idxs) == 1:
+            blob, size = cols["instances_blob"][i0], cols["size"][i0]
+        else:
+            insts: list[dict] = []
+            for i in idxs:
+                insts.extend(pickle.loads(cols["instances_blob"][i]))
+            insts = _dedup_cap(insts)
+            blob, size = pickle.dumps(insts, protocol=4), len(insts)
+        out["key"].append(cols["key"][i0])
+        out["arg1_norm"].append(cols["arg1_norm"][i0])
+        out["rel_norm"].append(cols["rel_norm"][i0])
+        out["arg2_norm"].append(cols["arg2_norm"][i0])
+        out["instances_blob"].append(blob)
+        out["size"].append(size)
+        out["raw_count"].append(raw)
+    return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
+
+
+def merge_blob_shuffle(partial, drop: bool = True):
+    """The G1 reduce as a partitioned shuffle: hash-partition the
+    partial rows on ``key`` (the shared ``_with_part_on`` bucketing),
+    group by the partition id, and merge each partition's keys in one
+    vectorized call.  Key skew stays bounded because the rows entering
+    the shuffle are already per-block combiner partials (a hot key
+    contributes at most one capped row per upstream block)."""
+    from openie_backend_ray.ops.dedup import _with_part_on
+
+    return (
+        partial.map_batches(_with_part_on("key"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda g: _merge_blob_part(g, drop=drop),
+                    batch_format="pyarrow")
+    )
+
+
 def finalize_groups(batch: pa.Table) -> pa.Table:
     """Blob rows -> Arrow GROUPS schema (one nested conversion per batch)."""
     n = batch.num_rows
     if n == 0:
         return S.GROUPS.empty_table()
-    inst_lists = [pickle.loads(b) for b in batch["instances_blob"].to_pylist()]
+    inst_lists = [
+        [_inst_unpack(i) for i in pickle.loads(b)]
+        for b in batch["instances_blob"].to_pylist()
+    ]
     return pa.Table.from_pydict(
         {
             "arg1_norm": batch["arg1_norm"].to_pylist(),
@@ -203,9 +310,7 @@ def group_extractions(
     partial = keyed_ds.map_batches(
         combine_batch, batch_format="pyarrow", batch_size=combine_batch_size
     )
-    merged = partial.groupby("key").map_groups(
-        merge_blob_groups, batch_format="pyarrow"
-    )
+    merged = merge_blob_shuffle(partial)
     if finalize:
         return merged.map_batches(finalize_groups, batch_format="pyarrow")
     return merged
@@ -269,13 +374,26 @@ def group_extractions_salted(
         combine_batch, batch_format="pyarrow", batch_size=None
     )
     salted = partial.map_batches(add_salt, batch_format="pyarrow")
-    phase1 = salted.groupby(["key", "salt"]).map_groups(
-        lambda t: merge_blob_groups(t.drop_columns(["salt"]), drop=False),
-        batch_format="pyarrow",
+    # phase-1 partitions on (key, salt) — the salt MUST reach the
+    # partition hash or a hot key still lands on one reducer
+    from openie_backend_ray.ops.dedup import _with_part_on
+
+    def add_ks(batch: pa.Table) -> pa.Table:
+        ks = [f"{k}\x1f{s}" for k, s in
+              zip(batch["key"].to_pylist(), batch["salt"].to_pylist())]
+        return batch.append_column("ks", pa.array(ks, pa.string()))
+
+    phase1 = (
+        salted.map_batches(add_ks, batch_format="pyarrow")
+        .map_batches(_with_part_on("ks"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: _merge_blob_part(g, group_cols=("key", "salt"),
+                                       drop=False),
+            batch_format="pyarrow",
+        )
     )
-    merged = phase1.groupby("key").map_groups(
-        merge_blob_groups, batch_format="pyarrow"
-    )
+    merged = merge_blob_shuffle(phase1)
     if finalize:
         return merged.map_batches(finalize_groups, batch_format="pyarrow")
     return merged

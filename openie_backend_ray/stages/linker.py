@@ -256,9 +256,15 @@ class LinkerActor:
             "arg1_types": [], "arg2_types": [],
             "instances": [], "size": [], "corpora": [],
         }
+        from openie_backend_ray.stages.grouper import _inst_unpack
+
         for blob in blobs:
+            # blob-internal instances carry tokens/postags/chunks as
+            # space-joined strings (grouper._inst_pack); the context
+            # string concatenates them directly, and only the HEAD
+            # instance needs the list form for interval slicing
             insts = pickle.loads(blob)
-            head = insts[0]
+            head = _inst_unpack(insts[0])
             # context = the group's sentences (ScoobiEntityLinker.scala:
             # 66-108), CAPPED at the CONTEXT_MAX_SENTENCES
             # HIGHEST-CONFIDENCE instances.  Selected explicitly with
@@ -273,13 +279,16 @@ class LinkerActor:
 
                 ctx_insts = heapq.nlargest(
                     CONTEXT_MAX_SENTENCES, insts,
-                    key=lambda i: (i["confidence"],
-                                   " ".join(i["tokens"])),
+                    key=lambda i: (i["confidence"], i["tokens"])
+                    if isinstance(i["tokens"], str)
+                    else (i["confidence"], " ".join(i["tokens"])),
                 )
             else:
                 ctx_insts = insts
             sources = " ".join(
-                " ".join(i["tokens"]) for i in ctx_insts
+                i["tokens"] if isinstance(i["tokens"], str)
+                else " ".join(i["tokens"])
+                for i in ctx_insts
             )
             q = _terms(sources)
             qv = {
@@ -300,7 +309,9 @@ class LinkerActor:
             out["arg2_entity"].append(ents[1])
             out["arg1_types"].append(typs[0])
             out["arg2_types"].append(typs[1])
-            out["instances"].append(insts)
+            out["instances"].append(
+                [_inst_unpack(i) for i in insts]
+            )
             out["size"].append(len(insts))
             out["corpora"].append(sorted({i["corpus"] for i in insts}))
         return pa.Table.from_pydict(out, schema=S.GROUPS)

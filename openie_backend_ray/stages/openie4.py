@@ -674,7 +674,7 @@ def openie4_triples_from_documents(docs_ds, lexicon_ref=None,
     chunked-sentence entry for pre-chunked inputs."""
     from openie_backend_ray.stages.grouper import (
         finalize_groups,
-        merge_blob_groups,
+        merge_blob_shuffle,
     )
     from openie_backend_ray.util import actor_cpus, auto_pool
 
@@ -687,9 +687,7 @@ def openie4_triples_from_documents(docs_ds, lexicon_ref=None,
         concurrency=concurrency or auto_pool(0.7),
         num_cpus=actor_cpus(),
     )
-    blobs = partial.groupby("key").map_groups(
-        merge_blob_groups, batch_format="pyarrow"
-    )
+    blobs = merge_blob_shuffle(partial)
     if side_tables_ref is not None:
         from openie_backend_ray.stages.linker import link_groups
 
