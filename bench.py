@@ -34,14 +34,27 @@ PREP_ROOT = os.environ.get("GRAFT_BENCH_PREP", "/tmp/graft_bench")
 # prepare (untimed): materialize the bench corpus + side inputs to /tmp
 # ---------------------------------------------------------------------------
 
-def prepare_inputs(sf_dir: str, replication: int) -> dict:
+def prepare_inputs(sf_dir: str, replication: int,
+                   varied: bool = False) -> dict:
     """Idempotent: writes the interleaved bench corpus (sf docs +
     replicated fixture corpus), the chunker lexicon and the linker side
-    tables under PREP_ROOT; returns paths + input counts."""
+    tables under PREP_ROOT; returns paths + input counts.
+
+    ``varied=True`` salts every fixture replica's sentences with a
+    per-replica token, making EVERY sentence in the corpus unique.
+    The standard (duplicated) corpus is the right throughput bench —
+    web corpora are dup-heavy and the unique-sentence front-end
+    exploits that — but it is the WRONG scaling probe: once duplicate
+    work is deduplicated, the remaining compute at sf0.1 is too small
+    to differentiate 2 vs 8 CPUs (both ride the ~15 s pipeline floor).
+    The varied corpus makes extraction work proportional to corpus
+    size, so the two-level run measures the engine's compute scaling,
+    not the floor."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_r{replication}"
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_r{replication}{'_v' if varied else ''}")
     root = os.path.join(PREP_ROOT, tag)
     manifest_path = os.path.join(root, "manifest.json")
     if os.path.exists(manifest_path):
@@ -59,7 +72,18 @@ def prepare_inputs(sf_dir: str, replication: int) -> dict:
     flat = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     sf_docs = interleave_flat_batch(flat)
-    fixture_docs = build_documents(replication=replication)
+    if varied:
+        from openie_backend_ray.fixtures.corpus import golden_sentences
+
+        base = golden_sentences()
+        salted = [
+            (f"{text} vtok{r}x", url)
+            for r in range(replication)
+            for text, url in base
+        ]
+        fixture_docs = build_documents(sentences=salted, replication=1)
+    else:
+        fixture_docs = build_documents(replication=replication)
     docs = pa.concat_tables([sf_docs, fixture_docs])
     n_sentences = sum(
         1
@@ -210,7 +234,8 @@ def main_bench() -> None:
 
 
 def main_flagship_only(num_cpus: int) -> None:
-    prep = prepare_inputs(SF_DIR, REPLICATION)
+    varied = os.environ.get("GRAFT_BENCH_VARIED", "") == "1"
+    prep = prepare_inputs(SF_DIR, REPLICATION, varied=varied)
     _init_ray(num_cpus)
     res = run_flagship_bench(prep)
     print(json.dumps(res))
@@ -252,17 +277,26 @@ def main_scaling() -> None:
     the host's PHYSICAL core budget (see hardware_ceiling); 8,32 runs
     into the sandbox's vCPU oversubscription and measures the host, not
     the engine."""
-    prepare_inputs(SF_DIR, REPLICATION)  # shared, untimed
+    # VARIED corpus (every sentence unique): the scaling probe must be
+    # compute-bound — see prepare_inputs(varied=...).  Replication 32
+    # ≈ 118k unique sentences: big enough that extraction dominates
+    # the pipeline floor, small enough that the 2-CPU leg finishes in
+    # ~2 min.
+    scaling_repl = int(os.environ.get("GRAFT_SCALING_REPLICATION", "32"))
+    prepare_inputs(SF_DIR, scaling_repl, varied=True)  # shared, untimed
     levels = [int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")]
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    env = dict(os.environ,
+               GRAFT_BENCH_VARIED="1",
+               GRAFT_BENCH_REPLICATION=str(scaling_repl))
     results = {}
     for n in levels:
         best = None
         for _ in range(repeats):
             out = subprocess.run(
                 [sys.executable, __file__, "--flagship-only", str(n)],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True, check=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = out.stdout.strip().splitlines()[-1]

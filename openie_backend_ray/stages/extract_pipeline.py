@@ -88,10 +88,20 @@ class ExtractCombineActor(ChunkerActor):
         return found
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "n" in batch.column_names:
+            # unique-sentence front-end rows (text, n): every text is
+            # globally distinct, extract once, carry the occurrence
+            # count as the combiner weight (raw_count stays exact)
+            rows: list = []
+            for s, n in zip(batch["text"].to_pylist(),
+                            batch["n"].to_pylist()):
+                for ks, k, inst in self._extract_text(s):
+                    rows.append((ks, k, inst, n))
+            return combine_rows(rows)
         sentences = explode_text_spans(batch)
         texts = sentences["text"].to_pylist()
         xm = self._xmemo
-        rows: list = []
+        rows = []
         for s in texts:
             found = xm.get(s)
             if found is None:
@@ -103,17 +113,58 @@ class ExtractCombineActor(ChunkerActor):
         return combine_rows(rows)
 
 
+def unique_sentences(docs_ds):
+    """documents -> globally-unique (text, n) sentence rows via ONE
+    hash-partition shuffle of the exploded sentence texts.
+
+    Dedup-before-extract: web corpora are duplication-heavy, and
+    per-actor memoization still re-tags every unique sentence once PER
+    ACTOR — duplicated warm-up work that grows with the pool size (the
+    measured 2-vs-8-CPU scaling collapse at sf0.1: the 1-actor run
+    rides one warm memo, the 6-actor run tags every unique 6 times).
+    Deduplicating sentences first costs one exchange of short text
+    rows and makes total extraction work independent of the pool
+    size; it also collapses the G1 combiner input to unique
+    extractions with occurrence weights (827k partial rows -> ~20k at
+    sf0.1).  Sound for this path because extraction is a pure function
+    of the sentence text (instances carry no per-occurrence URL — see
+    the module docstring)."""
+    from openie_backend_ray.ops.dedup import _with_part_on
+
+    texts = docs_ds.map_batches(
+        lambda b: explode_text_spans(b).select(["text"]),
+        batch_format="pyarrow",
+    )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = g["text"].to_pandas().value_counts(sort=False)
+        return pa.table(
+            {"text": pa.array(vc.index, pa.string()),
+             "n": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    return (
+        texts.map_batches(_with_part_on("text"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
 def extract_and_combine(docs_ds, lexicon_ref=None, corpus: str = "corpus",
                         concurrency=None):
-    """documents -> partial blob-group rows, ready for the G1 shuffle."""
+    """documents -> partial blob-group rows, ready for the G1 shuffle:
+    unique-sentence dedup shuffle, then the fused extract actor over
+    (text, n) rows."""
     from openie_backend_ray.util import actor_cpus, auto_pool
 
-    return docs_ds.map_batches(
+    return unique_sentences(docs_ds).map_batches(
         ExtractCombineActor,
         fn_constructor_kwargs={"lexicon_ref": lexicon_ref,
                                "corpus": corpus},
         batch_format="pyarrow",
-        batch_size=None,  # per input block: keeps task count = blocks
+        batch_size=512,  # spread unique texts across the pool
         concurrency=concurrency or auto_pool(0.7),
         num_cpus=actor_cpus(),
     )

@@ -155,6 +155,10 @@ def combine_batch(batch: pa.Table) -> pa.Table:
     a1n = batch["arg1_norm"].to_pylist()
     rln = batch["rel_norm"].to_pylist()
     a2n = batch["arg2_norm"].to_pylist()
+    # optional occurrence weights (unique-sentence front-end): raw_count
+    # sums them so the >500k drop sees per-occurrence counts
+    wts = (batch["weight"].to_pylist()
+           if "weight" in batch.column_names else None)
     by_key: dict[str, list[int]] = {}
     for i, k in enumerate(keys):
         by_key.setdefault(k, []).append(i)
@@ -175,7 +179,9 @@ def combine_batch(batch: pa.Table) -> pa.Table:
         out["arg2_norm"].append(a2n[i0])
         out["instances_blob"].append(pickle.dumps(insts, protocol=4))
         out["size"].append(len(insts))
-        out["raw_count"].append(len(idxs))
+        out["raw_count"].append(
+            len(idxs) if wts is None else sum(wts[i] for i in idxs)
+        )
     return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
 
 
@@ -317,12 +323,17 @@ def group_extractions(
 
 
 def combine_rows(rows) -> pa.Table:
-    """Map-side combiner over Python (key, norms, instance) rows — the
-    zero-Arrow-round-trip twin of ``combine_batch`` for the fused
-    extract+combine actor."""
+    """Map-side combiner over Python (key, norms, instance[, weight])
+    rows — the zero-Arrow-round-trip twin of ``combine_batch`` for the
+    fused extract+combine actor.  ``weight`` (default 1) is the
+    OCCURRENCE COUNT of the instance's sentence: the unique-sentence
+    front-end extracts each distinct sentence once and carries how many
+    times it occurred, so ``raw_count`` (the reference's pre-dedup
+    instance count, which drives the >500k drop) sums weights and stays
+    exactly equal to the per-occurrence pipeline's count."""
     by_key: dict[str, list[int]] = {}
-    for i, (k, _norms, _inst) in enumerate(rows):
-        by_key.setdefault(k, []).append(i)
+    for i, row in enumerate(rows):
+        by_key.setdefault(row[0], []).append(i)
     out = {k2: [] for k2 in
            ("key", "arg1_norm", "rel_norm", "arg2_norm",
             "instances_blob", "size", "raw_count")}
@@ -337,7 +348,9 @@ def combine_rows(rows) -> pa.Table:
         out["arg2_norm"].append(norms[2])
         out["instances_blob"].append(pickle.dumps(insts, protocol=4))
         out["size"].append(len(insts))
-        out["raw_count"].append(len(idxs))
+        out["raw_count"].append(sum(
+            (rows[i][3] if len(rows[i]) > 3 else 1) for i in idxs
+        ))
     return pa.Table.from_pydict(out, schema=BLOB_GROUPS)
 
 

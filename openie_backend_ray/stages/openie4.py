@@ -656,6 +656,26 @@ class OpenIE4ExtractCombineActor:
         from openie_backend_ray.stages.grouper import combine_batch
         from openie_backend_ray.stages.sentences import explode_text_spans
 
+        if "n" in batch.column_names:
+            # unique-sentence front-end rows (text, n): extract each
+            # distinct sentence once; span_idx carries the batch row
+            # index so each keyed extraction can look up its
+            # occurrence weight (doc_id/span_idx are combiner-dropped
+            # provenance placeholders on this path)
+            ns = batch["n"].to_pylist()
+            sentences = pa.table(
+                {"doc_id": pa.array([""] * batch.num_rows, pa.string()),
+                 "span_idx": pa.array(range(batch.num_rows), pa.int32()),
+                 "text": batch["text"]}
+            )
+            chunked = self.chunker(sentences)
+            oie4 = self.oie4(chunked)
+            t_rows = oie4.filter(pc.equal(oie4["kind"], "T"))
+            keyed = openie4_keyed_batch(t_rows)
+            weights = pa.array(
+                [ns[i] for i in keyed["span_idx"].to_pylist()], pa.int64()
+            )
+            return combine_batch(keyed.append_column("weight", weights))
         sentences = explode_text_spans(batch)
         chunked = self.chunker(sentences)
         oie4 = self.oie4(chunked)
@@ -672,18 +692,21 @@ def openie4_triples_from_documents(docs_ds, lexicon_ref=None,
     + ONE G1 shuffle (+ optional linker) — the corpus entry point the
     bench and queries() use; ``openie4_triples`` remains the
     chunked-sentence entry for pre-chunked inputs."""
+    from openie_backend_ray.stages.extract_pipeline import (
+        unique_sentences,
+    )
     from openie_backend_ray.stages.grouper import (
         finalize_groups,
         merge_blob_shuffle,
     )
     from openie_backend_ray.util import actor_cpus, auto_pool
 
-    partial = docs_ds.map_batches(
+    partial = unique_sentences(docs_ds).map_batches(
         OpenIE4ExtractCombineActor,
         fn_constructor_kwargs={"lexicon_ref": lexicon_ref,
                                "corpus": corpus},
         batch_format="pyarrow",
-        batch_size=None,  # per input block (combiner width = block)
+        batch_size=512,  # spread unique texts across the pool
         concurrency=concurrency or auto_pool(0.7),
         num_cpus=actor_cpus(),
     )

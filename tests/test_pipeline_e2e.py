@@ -131,8 +131,16 @@ def test_salted_grouping_identical(ray_session):
     b = salted.sort_values("key").reset_index(drop=True)
     assert list(a["key"]) == list(b["key"])
     assert list(a["size"]) == list(b["size"])
-    # deterministic instance order -> identical blobs
-    assert list(a["instances_blob"]) == list(b["instances_blob"])
+    # deterministic instance order -> identical instance CONTENT.
+    # (Compare unpickled lists, not raw bytes: pickle emits memo
+    # back-references for objects shared within a list, and which
+    # strings happen to be shared depends on which merge path last
+    # serialized the blob — equal content, unequal bytes.)
+    import pickle as _p
+
+    assert [
+        _p.loads(x) for x in a["instances_blob"]
+    ] == [_p.loads(x) for x in b["instances_blob"]]
 
 
 def test_query_triples_pushdown(ray_session, tmp_path):
