@@ -35,9 +35,9 @@ def exact_dup_losers(ds):
         keep = pc.not_equal(ids, pc.min(ids))
         return pa.table({"doc_id": ids.filter(keep)})
 
-    return hashed.groupby("text_md5").map_groups(
-        losers, batch_format="pyarrow"
-    )
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(hashed, "text_md5", losers)
 
 
 def _anti_join_losers(ds, losers_ds):

@@ -440,9 +440,9 @@ def asof_latest_order(events_ds, orders_ds):
     tagged = events_ds.map_batches(
         tag_events, batch_format="pyarrow"
     ).union(orders_ds.map_batches(tag_orders, batch_format="pyarrow"))
-    return tagged.groupby("key").map_groups(
-        reduce_key, batch_format="pyarrow"
-    )
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(tagged, "key", reduce_key)
 
 
 # ---------------------------------------------------------------------------
@@ -515,6 +515,6 @@ def orders_in_range(events_ds, orders_ds, days: int = 7):
     tagged = events_ds.map_batches(
         tag_events, batch_format="pyarrow"
     ).union(orders_ds.map_batches(tag_orders, batch_format="pyarrow"))
-    return tagged.groupby("key").map_groups(
-        reduce_key, batch_format="pyarrow"
-    )
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(tagged, "key", reduce_key)

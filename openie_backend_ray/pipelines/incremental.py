@@ -145,10 +145,11 @@ def _regroup_touched(tagged_ds, max_instances: int = 40_000):
         )
         return t.append_column("touched", pa.array([touched], pa.bool_()))
 
-    return (
-        tagged_ds.map_batches(regroup_add_key, batch_format="pyarrow")
-        .groupby("rkey")
-        .map_groups(merge, batch_format="pyarrow")
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(
+        tagged_ds.map_batches(regroup_add_key, batch_format="pyarrow"),
+        "rkey", merge,
     )
 
 

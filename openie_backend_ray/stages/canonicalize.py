@@ -194,13 +194,13 @@ def merge_frontend_groups(t: pa.Table) -> pa.Table:
 
 def canonicalize(groups_ds):
     """GROUPS dataset -> frontend-canonicalized GROUPS dataset (G4)."""
-    pass1 = (
-        groups_ds.map_batches(add_entity_key, batch_format="pyarrow")
-        .groupby("ckey")
-        .map_groups(merge_entity_groups, batch_format="pyarrow")
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    pass1 = partition_map_groups(
+        groups_ds.map_batches(add_entity_key, batch_format="pyarrow"),
+        "ckey", merge_entity_groups,
     )
-    return (
-        pass1.map_batches(add_frontend_key, batch_format="pyarrow")
-        .groupby("ckey")
-        .map_groups(merge_frontend_groups, batch_format="pyarrow")
+    return partition_map_groups(
+        pass1.map_batches(add_frontend_key, batch_format="pyarrow"),
+        "ckey", merge_frontend_groups,
     )

@@ -204,10 +204,11 @@ def inlink_ratio(groups_ds, arg_field: str = "arg1"):
              "ratio": pa.array([n / inl], pa.float64())}
         )
 
-    return (
-        groups_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("fbid")
-        .map_groups(reduce_group, batch_format="pyarrow")
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(
+        groups_ds.map_batches(partial, batch_format="pyarrow"),
+        "fbid", reduce_group,
     )
 
 
@@ -230,10 +231,11 @@ def arg_pairs(groups_ds, cap: int = 1_000_000):
     def reduce_group(g: pa.Table) -> pa.Table:
         return g.slice(0, cap)
 
-    return (
-        groups_ds.map_batches(project, batch_format="pyarrow")
-        .groupby("rel_norm")
-        .map_groups(reduce_group, batch_format="pyarrow")
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(
+        groups_ds.map_batches(project, batch_format="pyarrow"),
+        "rel_norm", reduce_group,
     )
 
 
@@ -291,10 +293,11 @@ def regroup(groups_ds, max_instances: int = 40_000):
             {k: [row[k]] for k in row}, schema=S.GROUPS
         )
 
-    return (
-        groups_ds.map_batches(regroup_add_key, batch_format="pyarrow")
-        .groupby("rkey")
-        .map_groups(merge, batch_format="pyarrow")
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(
+        groups_ds.map_batches(regroup_add_key, batch_format="pyarrow"),
+        "rkey", merge,
     )
 
 

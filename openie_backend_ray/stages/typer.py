@@ -336,20 +336,19 @@ def predict_arg_types(groups_ds, settings: TyperSettings | None = None):
         lambda b: rel_entity_pairs_batch(b, settings),
         batch_format="pyarrow",
     )
-    rel_info_ds = rel_ents.groupby("rel_norm").map_groups(
-        lambda g: build_rel_info(g, settings), batch_format="pyarrow"
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    rel_info_ds = partition_map_groups(
+        rel_ents, "rel_norm", lambda g: build_rel_info(g, settings)
     )
     rel_args = groups_ds.map_batches(
         lambda b: rel_arg_pairs_batch(b, settings), batch_format="pyarrow"
     )
-    joined = (
+    joined = partition_map_groups(
         rel_info_ds.map_batches(_pad_info, batch_format="pyarrow")
-        .union(rel_args.map_batches(_pad_args, batch_format="pyarrow"))
-        .groupby("rel_norm")
-        .map_groups(
-            lambda g: attach_rel_info_group(g, settings),
-            batch_format="pyarrow",
-        )
+        .union(rel_args.map_batches(_pad_args, batch_format="pyarrow")),
+        "rel_norm",
+        lambda g: attach_rel_info_group(g, settings),
     )
 
     def predict(g: pa.Table) -> pa.Table:
@@ -364,9 +363,7 @@ def predict_arg_types(groups_ds, settings: TyperSettings | None = None):
         }
         return predict_types_for_arg(arg, rel_infos, settings)
 
-    return joined.groupby("arg_norm").map_groups(
-        predict, batch_format="pyarrow"
-    )
+    return partition_map_groups(joined, "arg_norm", predict)
 
 
 # attach join row layout: GROUPS columns + the prediction payload; pred
@@ -423,9 +420,10 @@ def attach_types(groups_ds, preds_ds, arg_field: str = "arg1"):
             idx, typ_col, pa.array(new_types, pa.list_(pa.string()))
         )
 
-    return (
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    return partition_map_groups(
         groups_ds.map_batches(pad_groups, batch_format="pyarrow")
-        .union(preds_ds.map_batches(pad_preds, batch_format="pyarrow"))
-        .groupby(key)
-        .map_groups(attach, batch_format="pyarrow")
+        .union(preds_ds.map_batches(pad_preds, batch_format="pyarrow")),
+        key, attach,
     )
