@@ -191,6 +191,11 @@ def run_query_bench(sf_dir: str) -> dict:
         "regroup", "type_predictions", "clean_corpus",
         "fuzzy_components",
         "openie4_triples", "group_extractions",
+        # KG-core post-group family (round 4: driver-visible walls for
+        # the operators the reference exists for)
+        "canonicalize", "renormalize", "inlink_ratio", "arg_pairs",
+        "head_phrases", "answer_projections", "filter_groups",
+        "dedup_groups", "fetch_groups",
     ]
     timings = {}
     for name in names:
