@@ -180,8 +180,12 @@ def top_parts_by_quantity(lineitem_ds, k: int = 10):
         )
 
     agg = (
+        # combiner width must exceed the part-key cardinality per batch
+        # or the partial barely combines (20k distinct keys vs 8k-row
+        # batches left ~1 output row per input row; 64k-row batches cut
+        # the shuffle ~7x for two int columns of negligible heap)
         lineitem_ds.map_batches(partial, batch_format="pyarrow",
-                                batch_size=8192)
+                                batch_size=65536)
         .groupby("l_partkey")
         .sum("total_qty")
     )
