@@ -759,3 +759,46 @@ def test_centroid_matrix_sqrt_sample():
     assert set(ids) != set(range(k))
     # rows are L2-normalized
     assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)
+
+
+def test_partition_map_groups_matches_groupby(ray_session):
+    """The hash-partitioned per-key co-group (ops/partition.py) must be
+    row-identical to groupby(key).map_groups(fn) for an order-free fn,
+    across string and int64 keys, including a key with one row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from openie_backend_ray.ops.partition import (
+        apply_per_key,
+        partition_map_groups,
+    )
+
+    def fn(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": g["k"].slice(0, 1),
+             "total": pa.array([pc.sum(g["v"]).as_py()], pa.int64()),
+             "n": pa.array([g.num_rows], pa.int64())}
+        )
+
+    for keys in (["a", "b", "a", "c", "b", "a", "zz"],
+                 [7, 7, 3, 9, 3, 3, 1]):
+        t = pa.table({"k": keys, "v": list(range(len(keys)))})
+        ds = rd.from_arrow(t).repartition(3)
+        got = sorted(
+            (r["k"], r["total"], r["n"])
+            for r in partition_map_groups(ds, "k", fn).take_all()
+        )
+        want = sorted(
+            (r["k"], r["total"], r["n"])
+            for r in rd.from_arrow(t).groupby("k")
+            .map_groups(fn, batch_format="pyarrow").take_all()
+        )
+        assert got == want and len(got) == len(set(keys))
+
+    # local partition apply: every key run handed to fn whole
+    t = pa.table({"k": ["x", "y", "x"], "v": [1, 2, 3],
+                  "part": [0, 0, 0]})
+    out = apply_per_key(t, "k", fn)
+    assert sorted(zip(out["k"].to_pylist(), out["total"].to_pylist())) \
+        == [("x", 4), ("y", 2)]
