@@ -327,3 +327,46 @@ def test_triple_recall_lexicon_off(ray_session):
     produced = set(zip(tbl.arg1_norm, tbl.rel_norm, tbl.arg2_norm))
     _, r = precision_recall(produced, expected_triples())
     assert r >= 0.95
+
+
+def test_unique_sentence_front_end_raw_counts(ray_session):
+    """The unique-sentence front-end must count OCCURRENCES, not
+    uniques: a corpus with the same sentence 5 times yields one group
+    instance (dedup) but raw_count 5, exactly like the per-occurrence
+    path (the reference's >500k drop reads raw pre-dedup counts)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from openie_backend_ray.fixtures.corpus import build_chunker_lexicon
+    from openie_backend_ray.stages.extract_pipeline import (
+        extract_and_combine,
+        unique_sentences,
+    )
+    from openie_backend_ray.stages.grouper import merge_blob_shuffle
+
+    sent = "Obama visited Paris ."
+    span = lambda t, off: {"kind": "text", "text": t,
+                           "media_ref": "", "offset": off}
+    docs = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "spans": pa.array(
+            [[span(sent, 0)] for _ in range(5)],
+            pa.list_(pa.struct([("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32())]))),
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+    uniq = unique_sentences(ds).take_all()
+    assert [(r["text"], r["n"]) for r in uniq] == [(sent, 5)]
+
+    lex_ref = ray.put(build_chunker_lexicon())
+    merged = merge_blob_shuffle(
+        extract_and_combine(rd.from_arrow(docs).repartition(3),
+                            lexicon_ref=lex_ref, corpus="cw")
+    ).take_all()
+    assert len(merged) >= 1
+    for row in merged:
+        assert row["size"] == 1        # identical instances dedup
+        assert row["raw_count"] == 5   # but all 5 occurrences counted
