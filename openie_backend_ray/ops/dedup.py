@@ -26,6 +26,7 @@ simhash-sign extraction has an exact SQL oracle twin.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -152,7 +153,13 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-_BUCKET_NPART = 64
+# Partition count for every hash-bucketed co-group. RESULTS are
+# independent of this number (each key's rows stay whole inside one
+# partition; the per-key logic inside is exact) — it sets only the
+# reduce-task granularity. 64 fits the 32-vCPU sandbox; on a real
+# cluster set GRAFT_BUCKET_PARTS to ~4x total cores so each reduce
+# task holds a worker-heap-sized slice of the keyspace.
+_BUCKET_NPART = int(os.environ.get("GRAFT_BUCKET_PARTS", "64") or "64")
 
 
 def _with_part_on(col: str):
