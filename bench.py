@@ -176,7 +176,7 @@ def run_query_bench(sf_dir: str) -> dict:
 
     qs = E.queries()
     names = [
-        "dedup_exact", "dedup_minhash_pairs", "ngram_jaccard",
+        "dedup_exact", "span_dedup", "dedup_minhash_pairs", "ngram_jaccard",
         "winnow_fingerprints", "winnow_pairs", "delta_dedup",
         "simhash_pairs", "embedding_pairs", "embedding_pairs_ivf",
         "ann_topk", "ann_ivf",

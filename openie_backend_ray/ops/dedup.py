@@ -62,6 +62,69 @@ def exact_dedup(ds):
     )
 
 
+def span_dedup(ds, span_tokens: int = 10):
+    """Sub-document exact span dedup (the C4 / RefinedWeb shape: C4
+    removed duplicate three-sentence spans ACROSS documents, not whole
+    docs).  Documents split into fixed ``span_tokens``-token windows;
+    a span kept only at its globally FIRST occurrence (min
+    (doc_id, span_idx)); each document reassembles from its surviving
+    spans.  Returns (doc_id, text, n_spans, n_kept); documents whose
+    every span is a repeat drop entirely.
+
+    Shape at scale: explode is a vectorized map; the winner choice is
+    ONE md5(span)-hash-partitioned co-group (span text never shuffles
+    ungrouped — the 16-byte digest is the key, spans ride as values
+    exactly once); reassembly is ONE doc_id-partitioned co-group.  No
+    step holds the corpus, and both shuffles use the shared partition
+    pattern."""
+    from openie_backend_ray.ops.partition import partition_map_groups
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks_col = pc.split_pattern_regex(batch["text"], r"\s+").to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out_id, out_idx, out_md5, out_span, out_n = [], [], [], [], []
+        for did, toks in zip(ids, toks_col):
+            n = max(1, -(-len(toks) // span_tokens))
+            for i in range(n):
+                span = " ".join(toks[i * span_tokens:(i + 1) * span_tokens])
+                out_id.append(did)
+                out_idx.append(i)
+                out_md5.append(hashlib.md5(span.encode()).hexdigest())
+                out_span.append(span)
+                out_n.append(n)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "span_idx": pa.array(out_idx, pa.int64()),
+             "span_md5": pa.array(out_md5, pa.string()),
+             "span": pa.array(out_span, pa.string()),
+             "n_spans": pa.array(out_n, pa.int64())}
+        )
+
+    def first_occurrence(g: pa.Table) -> pa.Table:
+        # winner = min (doc_id, span_idx) for this span_md5
+        import numpy as np
+
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        idxs = g["span_idx"].to_numpy(zero_copy_only=False)
+        w = np.lexsort((idxs, ids))[0]
+        return g.slice(int(w), 1)
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("span_idx", "ascending")])
+        g = g.take(order)
+        return pa.table(
+            {"doc_id": g["doc_id"].slice(0, 1),
+             "text": pa.array(
+                 [" ".join(g["span"].to_pylist())], pa.string()),
+             "n_spans": g["n_spans"].slice(0, 1),
+             "n_kept": pa.array([g.num_rows], pa.int64())}
+        )
+
+    spans = ds.map_batches(explode, batch_format="pyarrow")
+    winners = partition_map_groups(spans, "span_md5", first_occurrence)
+    return partition_map_groups(winners, "doc_id", reassemble)
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH bands
 # ---------------------------------------------------------------------------

@@ -630,11 +630,13 @@ def test_kg_entries_inside_driver_window():
     ]
     for name in kg:
         assert order.index(name) < 50, f"{name} fell out of the window"
-    # the tail may only hold the stable, subsumed entries
+    # the tail may only hold stable entries: unchanged since r2/r3 and
+    # driver-green in BOTH of those rounds (media_spans moved out in
+    # r4 to keep the round-4-changed orders_in_range in-window)
     allowed_tail = {
         "token_stats", "quality_score", "lang_id", "fingerprint",
         "vocab_stats", "repetition_stats", "bpe_token_stats",
-        "top_tokens", "simhash",
+        "media_spans",
     }
     assert set(order[50:]) <= allowed_tail
 
@@ -802,3 +804,29 @@ def test_partition_map_groups_matches_groupby(ray_session):
     out = apply_per_key(t, "k", fn)
     assert sorted(zip(out["k"].to_pylist(), out["total"].to_pylist())) \
         == [("x", 4), ("y", 2)]
+
+
+def test_span_dedup_first_occurrence_wins(ray_session):
+    """C4-style span dedup: a 10-token window repeated across docs
+    survives only at its global first (doc_id, span_idx); documents
+    rebuild from surviving spans and fully-duplicated docs drop."""
+    import ray.data as rd
+
+    from openie_backend_ray.ops.dedup import span_dedup
+
+    w1 = " ".join(f"a{i}" for i in range(10))   # shared window
+    w2 = " ".join(f"b{i}" for i in range(10))
+    w3 = " ".join(f"c{i}" for i in range(10))
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array([f"{w1} {w2}",   # doc1: both kept
+                           f"{w3} {w1}",   # doc2: w1 is a repeat
+                           w1])}           # doc3: all spans repeats
+    )
+    out = {r["doc_id"]: r for r in
+           span_dedup(rd.from_arrow(t).repartition(2)).take_all()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == f"{w1} {w2}"
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["text"] == w3
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
