@@ -285,3 +285,42 @@ def test_fused_openie4_matches_staged(ray_session):
     assert list(f["arg1_norm"]) == list(s["arg1_norm"])
     assert list(f["size"]) == list(s["size"])
     assert len(f) == 1 and int(f.iloc[0]["size"]) == len(PATTERN_CASES)
+
+
+def test_openie4_unique_front_end_raw_counts(ray_session):
+    """The OpenIE4 fused path's unique-sentence front-end must carry
+    occurrence weights through the keyed batch (span_idx lookup):
+    4 copies of one sentence -> deduped instances but raw_count 4."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from openie_backend_ray.fixtures.corpus import build_chunker_lexicon
+    from openie_backend_ray.stages.extract_pipeline import unique_sentences
+    from openie_backend_ray.stages.grouper import merge_blob_shuffle
+    from openie_backend_ray.stages.openie4 import OpenIE4ExtractCombineActor
+
+    sent = "Obama visited Paris ."
+    span = {"kind": "text", "text": sent, "media_ref": "", "offset": 0}
+    docs = pa.table({
+        "doc_id": pa.array(list(range(4)), pa.int64()),
+        "spans": pa.array(
+            [[span]] * 4,
+            pa.list_(pa.struct([("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32())]))),
+    })
+    actor = OpenIE4ExtractCombineActor(
+        lexicon=build_chunker_lexicon(), corpus="cw"
+    )
+    uniq = unique_sentences(rd.from_arrow(docs).repartition(2))
+    partial = uniq.map_batches(
+        lambda b: actor(b), batch_format="pyarrow"
+    )
+    merged = merge_blob_shuffle(partial).take_all()
+    assert len(merged) >= 1
+    for row in merged:
+        # every distinct extraction of the (unique) sentence occurred
+        # exactly 4 times
+        assert row["raw_count"] == 4 * row["size"]
