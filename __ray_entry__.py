@@ -91,8 +91,10 @@ def _flagship(sf_dir: str):
     sf_docs = _interleaved_docs(sf_dir)
     fixture_docs = documents_dataset(n_blocks=8)
     docs = sf_docs.union(fixture_docs)
+    from openie_backend_ray.stages.linker import prepare_linker_tables
+
     lex_ref = ray.put(build_chunker_lexicon())
-    st_ref = ray.put(build_side_tables())
+    st_ref = ray.put(prepare_linker_tables(build_side_tables()))
     groups = run_flagship(
         docs, lexicon_ref=lex_ref, side_tables_ref=st_ref, corpus="cw"
     )

@@ -148,12 +148,15 @@ def run_flagship_bench(prep: dict) -> dict:
 
     from openie_backend_ray.pipelines.flagship import run_flagship
 
+    from openie_backend_ray.stages.linker import prepare_linker_tables
+
     lex_ref = ray.put(pq.read_table(prep["lexicon"]))
     tables = {
         name: pq.read_table(path)
         for name, path in prep["side_tables"].items()
     }
-    st_ref = ray.put(tables)
+    # prepare ONCE driver-side; actors probe the shared plasma copy
+    st_ref = ray.put(prepare_linker_tables(tables))
 
     t0 = time.time()
     docs = ray.data.read_parquet(prep["docs_dir"])

@@ -131,22 +131,35 @@ def unique_sentences(docs_ds):
     the module docstring)."""
     from openie_backend_ray.ops.dedup import _with_part_on
 
-    texts = docs_ds.map_batches(
-        lambda b: explode_text_spans(b).select(["text"]),
-        batch_format="pyarrow",
-    )
-
-    def uniq(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        vc = g["text"].to_pandas().value_counts(sort=False)
+    def partial_counts(b: pa.Table) -> pa.Table:
+        # Map-side combiner: per-block value_counts BEFORE the
+        # exchange, so the shuffle carries (text, n) partials — one
+        # row per text unique WITHIN the block — instead of every raw
+        # occurrence. On a 30-67x duplicated corpus the exchanged row
+        # count drops by the per-block dup factor; at 100 TB this is
+        # the difference between shuffling the whole corpus text and
+        # shuffling ~its unique fraction. Semantics identical: the
+        # reduce side sums n per text.
+        vc = (
+            explode_text_spans(b)["text"].to_pandas()
+            .value_counts(sort=False)
+        )
         return pa.table(
             {"text": pa.array(vc.index, pa.string()),
              "n": pa.array(vc.to_numpy(), pa.int64())}
         )
 
+    def uniq(g: pa.Table) -> pa.Table:
+        df = g.select(["text", "n"]).to_pandas()
+        s = df.groupby("text", sort=False)["n"].sum()
+        return pa.table(
+            {"text": pa.array(s.index, pa.string()),
+             "n": pa.array(s.to_numpy(), pa.int64())}
+        )
+
     return (
-        texts.map_batches(_with_part_on("text"), batch_format="pyarrow")
+        docs_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .map_batches(_with_part_on("text"), batch_format="pyarrow")
         .groupby("part")
         .map_groups(uniq, batch_format="pyarrow")
     )

@@ -49,8 +49,10 @@ def main() -> int:
     from openie_backend_ray.pipelines.flagship import run_flagship
     from openie_backend_ray.state.checkpoint import run_sharded
 
+    from openie_backend_ray.stages.linker import prepare_linker_tables
+
     lex_ref = ray.put(build_chunker_lexicon())
-    st_ref = ray.put(build_side_tables())
+    st_ref = ray.put(prepare_linker_tables(build_side_tables()))
 
     def compute(paths, tmp_out):
         docs = ray.data.read_parquet(list(paths))
