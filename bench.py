@@ -320,7 +320,12 @@ def main_scaling() -> None:
     efficiency = (tput[hi] / tput[lo]) / (hi / lo)
     ceiling = hardware_ceiling(lo, hi)
     print(json.dumps({
+        # corpus tag: "varied" = salted unique-sentence corpus (round-4
+        # methodology change; NOT comparable to rounds 1-3 figures that
+        # used the duplicated corpus — the unique-sentence front-end
+        # made that corpus latency-floor-bound)
         "metric": "scaling_efficiency",
+        "scaling_corpus": "varied",
         "value": round(efficiency, 3),
         "unit": "ratio",
         "queries": {f"flagship_cpus{n}_sec": results[n]["sec"]

@@ -82,6 +82,9 @@ def span_dedup(ds, span_tokens: int = 10):
     def explode(batch: pa.Table) -> pa.Table:
         toks_col = pc.split_pattern_regex(batch["text"], r"\s+").to_pylist()
         ids = batch["doc_id"].to_pylist()
+        # preserve the input's doc_id dtype (string ids flow through the
+        # incremental-ingest path; hardcoding int64 raised ArrowInvalid)
+        id_type = batch["doc_id"].type
         out_id, out_idx, out_md5, out_span, out_n = [], [], [], [], []
         for did, toks in zip(ids, toks_col):
             n = max(1, -(-len(toks) // span_tokens))
@@ -93,7 +96,7 @@ def span_dedup(ds, span_tokens: int = 10):
                 out_span.append(span)
                 out_n.append(n)
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()),
+            {"doc_id": pa.array(out_id, id_type),
              "span_idx": pa.array(out_idx, pa.int64()),
              "span_md5": pa.array(out_md5, pa.string()),
              "span": pa.array(out_span, pa.string()),
@@ -101,12 +104,11 @@ def span_dedup(ds, span_tokens: int = 10):
         )
 
     def first_occurrence(g: pa.Table) -> pa.Table:
-        # winner = min (doc_id, span_idx) for this span_md5
-        import numpy as np
-
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        idxs = g["span_idx"].to_numpy(zero_copy_only=False)
-        w = np.lexsort((idxs, ids))[0]
+        # winner = min (doc_id, span_idx) for this span_md5; pylist min
+        # (not np.lexsort) so string doc_ids order the same way
+        ids = g["doc_id"].to_pylist()
+        idxs = g["span_idx"].to_pylist()
+        w = min(range(g.num_rows), key=lambda i: (ids[i], idxs[i]))
         return g.slice(int(w), 1)
 
     def reassemble(g: pa.Table) -> pa.Table:
@@ -430,9 +432,47 @@ def materialize_store_fingerprints(store_ds, path: str,
     table is append-only: ingested deltas winnow themselves into it
     (same columns), mirroring how the reference's ingester folds new
     groups into the index it later diffs against
-    (``hadoop/.../lucene/Ingester.scala:45-121``)."""
+    (``hadoop/.../lucene/Ingester.scala:45-121``).
+
+    Writes a ``_winnow_params.json`` sidecar recording (k, w):
+    ``read_store_fingerprints`` asserts the delta side will winnow with
+    the SAME parameters — a silent mismatch yields near-zero overlap
+    and no flagged duplicates instead of an error."""
+    import json
+    import os
+
     winnow_fingerprints(store_ds, k, w).write_parquet(path)
+    local = path[len("local://"):] if path.startswith("local://") else path
+    if "://" not in local:
+        with open(os.path.join(local, "_winnow_params.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"k": k, "w": w}, f)
     return path
+
+
+def read_store_fingerprints(path: str, k: int = WINNOW_K,
+                            w: int = WINNOW_W):
+    """Read a ``materialize_store_fingerprints`` table back for
+    ``delta_dedup(..., store_is_fingerprints=True)``, asserting its
+    sidecar (k, w) match the parameters the delta side will use."""
+    import json
+    import os
+
+    import ray
+
+    local = path[len("local://"):] if path.startswith("local://") else path
+    manifest = os.path.join(local, "_winnow_params.json")
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as f:
+            params = json.load(f)
+        if (params.get("k"), params.get("w")) != (k, w):
+            raise ValueError(
+                f"store fingerprints at {path} were winnowed with "
+                f"k={params.get('k')}, w={params.get('w')} but the delta "
+                f"side is using k={k}, w={w}; re-materialize or pass "
+                f"matching parameters"
+            )
+    return ray.data.read_parquet(path)
 
 
 def delta_dedup(delta_ds, store_ds, k: int = WINNOW_K, w: int = WINNOW_W,

@@ -130,7 +130,11 @@ class ChunkSrl:
       directly before it) so ``triplize`` emits ReVerb's V+P relation;
     - an arg2 NP with an embedded "of" also yields the split variant
       (rel extended through "of", arg2 = the residue NP) — ReVerb's
-      V + W* + P relation ("heard stories of | people")."""
+      V + W* + P relation ("heard stories of | people");
+    - (round 5) the bridge variant's covered-span veto applies only to
+      chunk kinds OUTSIDE {ADJP, NP, PP}, so an ADJP between the verb
+      and the first prep-introduced arg2 keeps the bridge alive
+      ("is related to | X") — exact recall 0.837 -> 0.848."""
 
     _REL_PRON = frozenset({"that", "which", "who", "whom"})
 
@@ -222,8 +226,11 @@ class ChunkSrl:
                     pend_prep = None
                 else:
                     pend_prep = None
-                    bridge_ok = bridge_ok and bridge_k is not None
                 if nk not in ("ADJP", "NP", "PP"):
+                    # only a chunk kind OUTSIDE the covered set vetoes
+                    # the bridge (an ADJP between the verb and the
+                    # first prep-introduced arg2 is part of the V+W*+P
+                    # shape: "is related to | X")
                     bridge_ok = bridge_ok and bridge_k is not None
             if not arg2s:
                 continue

@@ -6,9 +6,12 @@ token intervals, ``models/.../TestReVerbExtractions.txt`` via
 scorer: fit on public fixture data, gate the measured number so drift
 fails loudly.
 
-Round-4 measured levels (each rule's contribution in the ChunkSrl
-docstring): exact interval-triple recall 0.837, all-parts-overlap
-recall 0.894, 6.75 triplized frames per instance."""
+Round-5 measured levels (each rule's contribution in the ChunkSrl
+docstring): exact interval-triple recall 0.848, all-parts-overlap
+recall 0.894, 6.80 triplized frames per instance. (Round-5 fixed the
+ADJP bridge veto — an ADJP between the verb and the first
+prep-introduced arg2 no longer kills the V+W*+P bridge variant —
+raising exact recall from round 4's 0.837.)"""
 
 from __future__ import annotations
 
@@ -52,10 +55,10 @@ def measured():
 
 
 def test_srl_exact_triple_recall(measured):
-    """>= 0.83 of golden ReVerb triples are recovered with EXACT
+    """>= 0.84 of golden ReVerb triples are recovered with EXACT
     (arg1, rel, arg2) token intervals by triplized ChunkSrl frames."""
     assert measured["total"] > 3000
-    assert measured["exact"] / measured["total"] >= 0.83
+    assert measured["exact"] / measured["total"] >= 0.84
 
 
 def test_srl_overlap_triple_recall(measured):

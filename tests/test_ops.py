@@ -135,6 +135,7 @@ def test_delta_dedup_precomputed_store_fps(ray_session, tmp_path):
     from openie_backend_ray.ops.dedup import (
         delta_dedup,
         materialize_store_fingerprints,
+        read_store_fingerprints,
     )
     from openie_backend_ray.pipelines.incremental import (
         drop_near_dup_deltas,
@@ -158,16 +159,22 @@ def test_delta_dedup_precomputed_store_fps(ray_session, tmp_path):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     precomp = delta_dedup(
         ray.data.from_arrow(delta),
-        ray.data.read_parquet(fps_path),
+        read_store_fingerprints(fps_path),
         store_is_fingerprints=True,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(rewinnow, precomp)
     assert list(precomp["doc_id"]) == [10]
 
     kept = drop_near_dup_deltas(
-        ray.data.from_arrow(delta), ray.data.read_parquet(fps_path)
+        ray.data.from_arrow(delta), read_store_fingerprints(fps_path)
     ).to_pandas()
     assert list(kept["doc_id"]) == [11]
+
+    # (k, w) mismatch must raise, not silently flag nothing
+    import pytest
+
+    with pytest.raises(ValueError, match="winnowed with"):
+        read_store_fingerprints(fps_path, k=3, w=2)
 
 
 def test_quality_gate_agrees_with_components():
@@ -630,15 +637,22 @@ def test_kg_entries_inside_driver_window():
     ]
     for name in kg:
         assert order.index(name) < 50, f"{name} fell out of the window"
-    # the tail may only hold stable entries: unchanged since r2/r3 and
-    # driver-green in BOTH of those rounds (media_spans moved out in
-    # r4 to keep the round-4-changed orders_in_range in-window)
+    # the tail may only hold stable entries: driver-green in r02 AND
+    # r03 AND r04 and untouched since (round-5 rotation: the relational
+    # demo family + kmv moved out so the textstats/media entries could
+    # rotate back under driver check), plus the round-4-retired
+    # top_tokens/simhash kept registered for LOCAL oracle sweeps only
     allowed_tail = {
-        "token_stats", "quality_score", "lang_id", "fingerprint",
-        "vocab_stats", "repetition_stats", "bpe_token_stats",
-        "media_spans",
+        "kmv_distinct_tokens", "pricing_summary", "segment_revenue",
+        "top_parts", "events_daily", "events_sessions", "asof_orders",
+        "orders_in_range", "top_tokens", "simhash",
     }
     assert set(order[50:]) <= allowed_tail
+    # the rotated-back entries are actually inside the window
+    for name in ("token_stats", "quality_score", "lang_id",
+                 "fingerprint", "vocab_stats", "repetition_stats",
+                 "bpe_token_stats", "media_spans"):
+        assert order.index(name) < 50, f"{name} missed the rotation"
 
 
 def test_perm_mins_matches_scalar_reference():
