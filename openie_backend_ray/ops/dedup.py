@@ -885,47 +885,45 @@ def simhash_pairs(ds, max_hamming: int = 3):
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-class CosinePairFinder:
-    """Actor: full embedding matrix broadcast once (ray.put); each batch
-    matmuls against it in float64 and emits pairs over threshold with
-    doc_a < doc_b. At real scale the matrix side is IVF-bucketed
-    (similarity.py) — this is the exact baseline."""
+def _cosine_pairs_batch(batch: pa.Table, *, mat_ref,
+                        threshold: float) -> pa.Table:
+    """Task fn: full embedding matrix broadcast once (ray.put); each
+    batch matmuls against it in float64 and emits pairs over threshold
+    with doc_a < doc_b. At real scale the matrix side is IVF-bucketed
+    (similarity.py) — this is the exact baseline.
 
-    def __init__(self, mat_ref=None, ids_vecs=None, threshold: float = 0.95):
-        if ids_vecs is None and mat_ref is not None:
-            import ray
+    A plain TASK, not an actor pool: the only state is the broadcast
+    (ids, matrix) numpy pair, and ``ray.get`` of numpy arrays is a
+    zero-copy plasma view per task — so there is no per-actor setup to
+    amortize, and a fixed pool only added actor-startup wall for
+    small inputs (the round-4 bench regression: 16 actors started for
+    a 2-batch job)."""
+    import ray
 
-            ids_vecs = ray.get(mat_ref)
-        self.all_ids, self.mat = ids_vecs  # (n,), (n, d) float64 L2-normed
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (vecs / norms) @ self.mat.T
-        rows, cols = np.nonzero(np.round(sims, 6) >= self.threshold)
-        a = ids[rows]
-        b = self.all_ids[cols]
-        keep = a < b
-        return pa.table(
-            {"vec_a": pa.array(a[keep], pa.int64()),
-             "vec_b": pa.array(b[keep], pa.int64()),
-             "cosine": pa.array(np.round(sims[rows, cols][keep], 6),
-                                pa.float64())}
-        )
+    all_ids, mat = ray.get(mat_ref)  # (n,), (n, d) float64 L2-normed
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (vecs / norms) @ mat.T
+    rows, cols = np.nonzero(np.round(sims, 6) >= threshold)
+    a = ids[rows]
+    b = all_ids[cols]
+    keep = a < b
+    return pa.table(
+        {"vec_a": pa.array(a[keep], pa.int64()),
+         "vec_b": pa.array(b[keep], pa.int64()),
+         "cosine": pa.array(np.round(sims[rows, cols][keep], 6),
+                            pa.float64())}
+    )
 
 
 def embedding_pairs(emb_ds, mat_ref, threshold: float = 0.95):
-    from openie_backend_ray.util import auto_pool
-
     return emb_ds.map_batches(
-        CosinePairFinder,
-        fn_constructor_kwargs={"mat_ref": mat_ref, "threshold": threshold},
+        _cosine_pairs_batch,
+        fn_kwargs={"mat_ref": mat_ref, "threshold": threshold},
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=auto_pool(0.5),
     )
 
 
