@@ -129,6 +129,54 @@ def run_flagship(
     return groups
 
 
+def run_flagship_sentences(
+    sent_ds: ray.data.Dataset,
+    lexicon_ref: Any | None = None,
+    side_tables_ref: Any | None = None,
+    corpus: str = "corpus",
+    chunker_concurrency: int | tuple[int, int] | None = None,
+    linker_concurrency: int | tuple[int, int] | None = None,
+    dedup: bool = True,
+    do_filter: bool = False,
+    do_canonicalize: bool = False,
+) -> ray.data.Dataset:
+    """Full pipeline over the reference's [sentence, url] LINE input
+    (``ScoobiReVerb.scala:62-107``): the URL-carrying fused front-end
+    (template+fill, see ``extract_and_combine_sentences``) keeps
+    per-sentence provenance on every instance without giving up the
+    memoized fused extraction. ``sent_ds`` columns: text, source_url."""
+    from openie_backend_ray.stages.canonicalize import canonicalize
+    from openie_backend_ray.stages.extract_pipeline import (
+        extract_and_combine_sentences,
+    )
+    from openie_backend_ray.stages.grouper import (
+        finalize_groups,
+        merge_blob_shuffle,
+    )
+    from openie_backend_ray.stages.linker import link_groups
+    from openie_backend_ray.stages.postprocess import (
+        dedup_groups_batch,
+        filter_groups_batch,
+    )
+
+    partial = extract_and_combine_sentences(
+        sent_ds, lexicon_ref=lexicon_ref, corpus=corpus,
+        concurrency=chunker_concurrency,
+    )
+    blobs = merge_blob_shuffle(partial)
+    if side_tables_ref is not None:
+        groups = link_groups(blobs, side_tables_ref, linker_concurrency)
+    else:
+        groups = blobs.map_batches(finalize_groups, batch_format="pyarrow")
+    if dedup:
+        groups = groups.map_batches(dedup_groups_batch, batch_format="pyarrow")
+    if do_filter:
+        groups = groups.map_batches(filter_groups_batch, batch_format="pyarrow")
+    if do_canonicalize:
+        groups = canonicalize(groups)
+    return groups
+
+
 def materialize_triples(groups_ds: ray.data.Dataset, out_dir: str) -> None:
     """S4: the triples table — groups sorted by the normalized triple,
     written as partitioned Parquet (the query-layer contract fields of

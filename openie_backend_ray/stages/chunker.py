@@ -190,12 +190,16 @@ class ChunkerActor:
             toks.append(hit[0])
             tags.append(hit[1])
             chks.append(hit[2])
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "span_idx": batch["span_idx"],
-                "tokens": pa.array(toks, pa.list_(pa.string())),
-                "postags": pa.array(tags, pa.list_(pa.string())),
-                "chunks": pa.array(chks, pa.list_(pa.string())),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "span_idx": batch["span_idx"],
+            "tokens": pa.array(toks, pa.list_(pa.string())),
+            "postags": pa.array(tags, pa.list_(pa.string())),
+            "chunks": pa.array(chks, pa.list_(pa.string())),
+        }
+        # per-sentence provenance passes through when present (the
+        # reference's [sentence, url] line input keeps the URL on every
+        # record, ScoobiReVerb.scala:62-107)
+        if "source_url" in batch.column_names:
+            cols["source_url"] = batch["source_url"]
+        return pa.table(cols)

@@ -20,13 +20,15 @@ hit. This also removes the old fused path's Arrow round-trip: building
 a tokens/postags/chunks list-table only to ``to_pylist`` it straight
 back cost ~1s per 9k-sentence block (profiled at sf0.1).
 
-Instances in this fused path always carry ``source_url=""`` — the
-interleaved documents table has no per-sentence URL (the reference's
-``[sentence, url]`` line input maps to span rows without provenance
-URLs, ``sources/interleaved.py``), which is also why the memoized
-instance templates are shareable verbatim across occurrences. If a
-corpus with real URLs is ever fed through, use the unfused stages
-(chunker -> extract_batch) whose instances take per-row URLs.
+Instances in the documents-input fused path carry ``source_url=""`` —
+the interleaved documents table has no per-sentence URL (the
+reference's ``[sentence, url]`` line input maps to span rows without
+provenance URLs, ``sources/interleaved.py``), which is also why the
+memoized instance templates are shareable verbatim across occurrences.
+A corpus WITH real per-sentence URLs goes through
+``extract_and_combine_sentences`` (template+fill): extraction is still
+memoized per unique text, and the per-occurrence URL is filled onto a
+COPY of each template — fused speed with full provenance.
 """
 
 from __future__ import annotations
@@ -89,10 +91,36 @@ class ExtractCombineActor(ChunkerActor):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "n" in batch.column_names:
+            if "source_url" in batch.column_names:
+                # URL-carrying unique front-end rows (text, source_url,
+                # n): TEMPLATE + FILL — extraction is memoized per
+                # unique TEXT (rows are partitioned by text, so a
+                # text's URL variants co-locate and hit the memo), and
+                # the per-occurrence URL is attached onto a COPY of
+                # each memoized instance template. Keeps the fused
+                # path's speed on duplicated corpora while preserving
+                # the reference's per-sentence provenance
+                # (ScoobiReVerb.scala:62-107 [sentence, url] input).
+                rows: list = []
+                xm = self._xmemo
+                for s, u, n in zip(batch["text"].to_pylist(),
+                                   batch["source_url"].to_pylist(),
+                                   batch["n"].to_pylist()):
+                    found = xm.get(s)
+                    if found is None:
+                        found = self._extract_text(s)
+                        if len(xm) >= self._XMEMO_CAP:
+                            xm.clear()  # epoch eviction
+                        xm[s] = found
+                    for ks, k, inst in found:
+                        rows.append(
+                            (ks, k, {**inst, "source_url": u}, n)
+                        )
+                return combine_rows(rows)
             # unique-sentence front-end rows (text, n): every text is
             # globally distinct, extract once, carry the occurrence
             # count as the combiner weight (raw_count stays exact)
-            rows: list = []
+            rows = []
             for s, n in zip(batch["text"].to_pylist(),
                             batch["n"].to_pylist()):
                 for ks, k, inst in self._extract_text(s):
@@ -162,6 +190,72 @@ def unique_sentences(docs_ds):
         .map_batches(_with_part_on("text"), batch_format="pyarrow")
         .groupby("part")
         .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def unique_sentence_urls(sent_ds):
+    """[sentence, url] rows -> globally-unique (text, source_url, n)
+    rows via one exchange PARTITIONED BY TEXT.
+
+    The URL-carrying twin of ``unique_sentences``: occurrences collapse
+    per (text, url) pair — raw counts stay exact — while partitioning
+    on text alone co-locates a sentence's URL variants so the extract
+    actor's template memo fires once per unique text. Same map-side
+    combiner shape: per-block (text, url) value_counts BEFORE the
+    exchange, n summed on the reduce side."""
+    from openie_backend_ray.ops.dedup import _with_part_on
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        df = pa.table(
+            {"text": b["text"], "source_url": b["source_url"]}
+        ).to_pandas()
+        s = df.groupby(["text", "source_url"], sort=False).size()
+        return pa.table(
+            {"text": pa.array(s.index.get_level_values(0), pa.string()),
+             "source_url": pa.array(
+                 s.index.get_level_values(1), pa.string()),
+             "n": pa.array(s.to_numpy(), pa.int64())}
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        df = g.select(["text", "source_url", "n"]).to_pandas()
+        s = df.groupby(["text", "source_url"], sort=False)["n"].sum()
+        return pa.table(
+            {"text": pa.array(s.index.get_level_values(0), pa.string()),
+             "source_url": pa.array(
+                 s.index.get_level_values(1), pa.string()),
+             "n": pa.array(s.to_numpy(), pa.int64())}
+        )
+
+    return (
+        sent_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .map_batches(_with_part_on("text"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def extract_and_combine_sentences(sent_ds, lexicon_ref=None,
+                                  corpus: str = "corpus",
+                                  concurrency=None):
+    """[sentence, url] corpus -> partial blob-group rows, URL-carrying
+    fused path (the reference's ``ScoobiReVerb.scala:62-107`` line
+    input): template+fill — extraction memoized per unique text, the
+    per-occurrence URL filled onto instance copies, occurrence counts
+    carried as combiner weights. Output is identical to the unfused
+    chunk -> extract_batch -> group path on the same input (instance
+    identity excludes the URL per the G1 oracle's dedup signature, so
+    same-sentence instances keep the deterministically-first URL)."""
+    from openie_backend_ray.util import actor_cpus, auto_pool
+
+    return unique_sentence_urls(sent_ds).map_batches(
+        ExtractCombineActor,
+        fn_constructor_kwargs={"lexicon_ref": lexicon_ref,
+                               "corpus": corpus},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency or auto_pool(0.7),
+        num_cpus=actor_cpus(),
     )
 
 
