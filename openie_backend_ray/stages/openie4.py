@@ -134,7 +134,12 @@ class ChunkSrl:
     - (round 5) the bridge variant's covered-span veto applies only to
       chunk kinds OUTSIDE {ADJP, NP, PP}, so an ADJP between the verb
       and the first prep-introduced arg2 keeps the bridge alive
-      ("is related to | X") — exact recall 0.837 -> 0.848."""
+      ("is related to | X") — exact recall 0.837 -> 0.848;
+    - (round 5) PP-gated subject-hop variant: when a frame's arg1 NP
+      is a preposition's object ("One of the presidents said ..."),
+      one extra frame with the next in-clause NP back as arg1 — the
+      attachment a dependency parse would make — exact recall
+      0.848 -> 0.876, overlap 0.894 -> 0.929."""
 
     _REL_PRON = frozenset({"that", "which", "who", "whom"})
 
@@ -255,6 +260,34 @@ class ChunkSrl:
                             arg1, (s, p + 1), [(p + 1, a2e)], conf
                         ))
                         break
+        # (round 5) subject-hop variant: when a frame's arg1 NP is the
+        # OBJECT OF A PREPOSITION (a PP chunk ends exactly where the
+        # arg1 starts — "One of the presidents said ..."), the real
+        # subject is usually the NP further left, which a dependency
+        # parse would attach as A0; emit ONE extra frame per such frame
+        # with the next in-clause NP back (stop at a VP) as arg1.
+        # Measured on the 3,453 golden instances: exact triple recall
+        # 0.848 -> 0.876, +21% frames (gated in test_openie4_gate.py).
+        extra = []
+        for f in out:
+            a1s = f.arg1[0]
+            prev = None
+            for kind, s, e in spans:
+                if e <= a1s:
+                    prev = (kind, e)
+            if not (prev and prev[0] == "PP" and prev[1] == a1s):
+                continue
+            for kind, s, e in reversed(spans):
+                if e <= a1s:
+                    if kind == "VP":
+                        break
+                    if kind == "NP":
+                        extra.append(Frame(
+                            (s, e), f.rel, f.arg2s, f.confidence,
+                            arg2_preps=f.arg2_preps,
+                        ))
+                        break
+        out.extend(extra)
         return out
 
 

@@ -7,11 +7,14 @@ scorer: fit on public fixture data, gate the measured number so drift
 fails loudly.
 
 Round-5 measured levels (each rule's contribution in the ChunkSrl
-docstring): exact interval-triple recall 0.848, all-parts-overlap
-recall 0.894, 6.80 triplized frames per instance. (Round-5 fixed the
-ADJP bridge veto — an ADJP between the verb and the first
-prep-introduced arg2 no longer kills the V+W*+P bridge variant —
-raising exact recall from round 4's 0.837.)"""
+docstring): exact interval-triple recall 0.876, all-parts-overlap
+recall 0.929, 8.20 triplized frames per instance. Round 5 added two
+rules over round 4's 0.837/0.894: the ADJP bridge-veto fix (an ADJP
+between the verb and the first prep-introduced arg2 no longer kills
+the V+W*+P bridge variant, 0.837 -> 0.848) and the PP-gated
+subject-hop variant (when a frame's arg1 is a preposition's object,
+one extra frame with the next in-clause NP back as arg1,
+0.848 -> 0.876)."""
 
 from __future__ import annotations
 
@@ -55,22 +58,22 @@ def measured():
 
 
 def test_srl_exact_triple_recall(measured):
-    """>= 0.84 of golden ReVerb triples are recovered with EXACT
+    """>= 0.87 of golden ReVerb triples are recovered with EXACT
     (arg1, rel, arg2) token intervals by triplized ChunkSrl frames."""
     assert measured["total"] > 3000
-    assert measured["exact"] / measured["total"] >= 0.84
+    assert measured["exact"] / measured["total"] >= 0.87
 
 
 def test_srl_overlap_triple_recall(measured):
-    """>= 0.89 at all-parts-overlap (the frame found the right
+    """>= 0.92 at all-parts-overlap (the frame found the right
     constituents, intervals off by attachment)."""
-    assert measured["overlap"] / measured["total"] >= 0.89
+    assert measured["overlap"] / measured["total"] >= 0.92
 
 
 def test_srl_frame_fanout_bounded(measured):
     """Precision guard for the variant rules: the bridge / of-split /
-    prep fan-out must stay bounded (~7 triples per instance measured),
-    not explode into emit-everything."""
+    prep / subject-hop fan-out must stay bounded (8.2 triples per
+    instance measured), not explode into emit-everything."""
     assert measured["trips"] / measured["total"] < 9.0
 
 
