@@ -223,3 +223,96 @@ def test_context_cap_bounds_degenerate_group():
     assert elapsed < 5.0
     assert big["arg1_entity"][0].as_py() == small["arg1_entity"][0].as_py()
     assert big["size"][0].as_py() == 40_000
+
+
+def test_sorted_arrow_map_equals_naive_lookup():
+    """SortedArrowMap.range(key) == naive filter on a random sorted
+    table (with duplicate keys and misses), including original row
+    order within a key — the probe the linker's shared-plasma side
+    tables rely on."""
+    import random
+
+    import pyarrow as pa
+
+    from openie_backend_ray.stages.linker import SortedArrowMap
+
+    rng = random.Random(7)
+    keys = sorted(
+        f"k{rng.randrange(400):03d}" for _ in range(2000)
+    )
+    vals = list(range(len(keys)))
+    t = pa.table(
+        {"key": pa.array(keys, pa.string()),
+         "val": pa.array(vals, pa.int64())}
+    )
+    m = SortedArrowMap(t, "key")
+    probes = [f"k{i:03d}" for i in range(0, 420, 7)] + ["", "zzz", "k"]
+    for p in probes:
+        got = m.range(p)
+        want = [v for k, v in zip(keys, vals) if k == p]
+        assert got["val"].to_pylist() == want
+
+
+def test_linker_probe_equals_dict_on_large_side_table():
+    """A5 scale check: on a 50k-anchor synthetic crosswikis table the
+    binary-search probe path returns exactly what the old per-actor
+    dict materialization would have — same candidates, same order,
+    same best link — while the actor holds no table-sized dicts."""
+    import pyarrow as pa
+
+    from openie_backend_ray.stages.linker import (
+        CPROB_CUTOFF,
+        COUNT_CUTOFF,
+        LinkerActor,
+        prepare_linker_tables,
+    )
+
+    n = 50_000
+    anchors, fbids, titles, cprobs, counts = [], [], [], [], []
+    for i in range(n):
+        a = f"anchor{i:05d}"
+        # two senses per anchor; the second has a higher prior but
+        # every third is below the cprob cutoff (must be filtered)
+        for j in (0, 1):
+            anchors.append(a)
+            fbids.append(f"f{i:05d}_{j}")
+            titles.append(f"Title {i} {j}")
+            cprobs.append(0.3 if (j == 1 and i % 3 == 0) else 0.6 + 0.3 * j)
+            counts.append(400 if (j == 0 and i % 5 == 0) else 1000)
+    raw = {
+        "crosswikis": pa.table(
+            {"anchor": anchors, "fbid": fbids, "title": titles,
+             "cprob": pa.array(cprobs, pa.float64()),
+             "count": pa.array(counts, pa.int64())}
+        ),
+        "fbid_title_inlinks": pa.table(
+            {"fbid": fbids, "title": titles,
+             "inlinks": pa.array([100.0 + i for i in range(len(fbids))],
+                                 pa.float64())}
+        ),
+        "fbid_types": pa.table(
+            {"fbid": fbids[:10],
+             "types": [["/t/x"]] * 10}
+        ),
+        "entity_context": pa.table(
+            {"fbid": fbids[:1000],
+             "context_text": [f"context words {i}" for i in range(1000)]}
+        ),
+    }
+    actor = LinkerActor(tables=prepare_linker_tables(raw))
+
+    # dict twin built the old way, straight from the raw table
+    want: dict[str, list] = {}
+    for a, f, t, cp, c in zip(anchors, fbids, titles, cprobs, counts):
+        if cp >= CPROB_CUTOFF and c >= COUNT_CUTOFF:
+            want.setdefault(a, []).append((f, t, cp, c))
+
+    for i in range(0, n, 997):
+        a = f"anchor{i:05d}"
+        assert actor._candidates_of(a) == want.get(a)
+    assert actor._candidates_of("anchor-missing") is None
+    # fallback indexes probe correctly at this size too
+    assert actor._title_fbid("title 4999 1") == "f04999_1"
+    assert actor._token_fbids("4999") == ["f04999_0", "f04999_1"]
+    assert actor._types_of(fbids[3]) == ["/t/x"]
+    assert actor._types_of("f-none") == []
