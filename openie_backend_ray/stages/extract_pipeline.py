@@ -186,7 +186,12 @@ def unique_sentences(docs_ds):
         )
 
     return (
-        docs_ds.map_batches(partial_counts, batch_format="pyarrow")
+        # combine over LARGE doc batches: the wider the per-call window,
+        # the more cross-document duplicates collapse before the
+        # exchange (measured at sf0.1: 1,146-doc read blocks dedup only
+        # 27% in-block; 4,096-doc batches see ~4x the window)
+        docs_ds.map_batches(partial_counts, batch_format="pyarrow",
+                            batch_size=4096)
         .map_batches(_with_part_on("text"), batch_format="pyarrow")
         .groupby("part")
         .map_groups(uniq, batch_format="pyarrow")
