@@ -451,3 +451,36 @@ def test_url_carrying_fused_path_matches_unfused(ray_session):
     assert "" not in urls and any(
         u.startswith("http://alt.example/") for u in urls
     ) or len(urls) > 0
+
+
+def test_unique_sentence_front_end_spreads_blocks(ray_session):
+    """The exchange's output must be split into many small blocks, or
+    the downstream extract actor pool runs one task per exchange
+    block and idles (measured at sf0.1: 8,535 uniques packed into 2
+    blocks = 2 of 22 actors busy). 2,000 distinct sentences at the
+    512-row block target must yield >= 3 blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from openie_backend_ray.stages.extract_pipeline import (
+        unique_sentences,
+    )
+
+    span = lambda t: [{"kind": "text", "text": t,
+                       "media_ref": "", "offset": 0}]
+    n = 2000
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "spans": pa.array(
+            [span(f"Entity{i} likes city number {i} .")
+             for i in range(n)],
+            pa.list_(pa.struct([("kind", pa.string()),
+                                ("text", pa.string()),
+                                ("media_ref", pa.string()),
+                                ("offset", pa.int32())]))),
+    })
+    uniq = unique_sentences(rd.from_arrow(docs)).materialize()
+    assert uniq.count() == n
+    assert uniq.num_blocks() >= 3
+    assert max(b.num_rows for b in uniq.iter_batches(
+        batch_size=None, batch_format="pyarrow")) <= 512
