@@ -7,14 +7,16 @@ scorer: fit on public fixture data, gate the measured number so drift
 fails loudly.
 
 Round-5 measured levels (each rule's contribution in the ChunkSrl
-docstring): exact interval-triple recall 0.876, all-parts-overlap
-recall 0.929, 8.20 triplized frames per instance. Round 5 added two
+docstring): exact interval-triple recall 0.896, all-parts-overlap
+recall 0.929, 8.69 triplized frames per instance. Round 5 added three
 rules over round 4's 0.837/0.894: the ADJP bridge-veto fix (an ADJP
 between the verb and the first prep-introduced arg2 no longer kills
-the V+W*+P bridge variant, 0.837 -> 0.848) and the PP-gated
-subject-hop variant (when a frame's arg1 is a preposition's object,
-one extra frame with the next in-clause NP back as arg1,
-0.848 -> 0.876)."""
+the V+W*+P bridge variant, 0.837 -> 0.848), the PP-gated subject-hop
+variant (when a frame's arg1 is a preposition's object, one extra
+frame with the next in-clause NP back as arg1, 0.848 -> 0.876), and
+adverb-extended rel variants (rel grown over directly-adjacent
+RB runs — "never met", "ai n't" — ReVerb's verb group includes
+them, 0.876 -> 0.896)."""
 
 from __future__ import annotations
 
@@ -58,10 +60,10 @@ def measured():
 
 
 def test_srl_exact_triple_recall(measured):
-    """>= 0.87 of golden ReVerb triples are recovered with EXACT
+    """>= 0.89 of golden ReVerb triples are recovered with EXACT
     (arg1, rel, arg2) token intervals by triplized ChunkSrl frames."""
     assert measured["total"] > 3000
-    assert measured["exact"] / measured["total"] >= 0.87
+    assert measured["exact"] / measured["total"] >= 0.89
 
 
 def test_srl_overlap_triple_recall(measured):
@@ -72,7 +74,7 @@ def test_srl_overlap_triple_recall(measured):
 
 def test_srl_frame_fanout_bounded(measured):
     """Precision guard for the variant rules: the bridge / of-split /
-    prep / subject-hop fan-out must stay bounded (8.2 triples per
+    prep / subject-hop / adverb fan-out must stay bounded (8.69 triples per
     instance measured), not explode into emit-everything."""
     assert measured["trips"] / measured["total"] < 9.0
 
