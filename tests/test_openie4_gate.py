@@ -7,8 +7,8 @@ scorer: fit on public fixture data, gate the measured number so drift
 fails loudly.
 
 Round-5 measured levels (each rule's contribution in the ChunkSrl
-docstring): exact interval-triple recall 0.896, all-parts-overlap
-recall 0.929, 8.69 triplized frames per instance. Round 5 added three
+docstring): exact interval-triple recall 0.898, all-parts-overlap
+recall 0.932, 8.86 triplized frames per instance. Round 5 added four
 rules over round 4's 0.837/0.894: the ADJP bridge-veto fix (an ADJP
 between the verb and the first prep-introduced arg2 no longer kills
 the V+W*+P bridge variant, 0.837 -> 0.848), the PP-gated subject-hop
@@ -16,7 +16,9 @@ variant (when a frame's arg1 is a preposition's object, one extra
 frame with the next in-clause NP back as arg1, 0.848 -> 0.876), and
 adverb-extended rel variants (rel grown over directly-adjacent
 RB runs — "never met", "ai n't" — ReVerb's verb group includes
-them, 0.876 -> 0.896)."""
+them, 0.876 -> 0.896), and the to-infinitive chain variant (ReVerb
+merges adjacent relation matches: "enables you to create | X",
+0.896 -> 0.898, overlap 0.929 -> 0.932)."""
 
 from __future__ import annotations
 
@@ -74,7 +76,7 @@ def test_srl_overlap_triple_recall(measured):
 
 def test_srl_frame_fanout_bounded(measured):
     """Precision guard for the variant rules: the bridge / of-split /
-    prep / subject-hop / adverb fan-out must stay bounded (8.69 triples per
+    prep / subject-hop / adverb / chain fan-out must stay bounded (8.86 triples per
     instance measured), not explode into emit-everything."""
     assert measured["trips"] / measured["total"] < 9.0
 
