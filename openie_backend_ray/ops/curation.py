@@ -435,13 +435,18 @@ def pack_sequences(ds, budget: int = 2048, bucket_range: int = 256):
              )}
         )
 
-    with_counts = ds.map_batches(counts, batch_format="pyarrow")
+    # tokenize ONCE: both passes consume this dataset, and without the
+    # checkpoint each execution re-runs the regex tokenize over the
+    # full text. The materialized table holds only 3 int64-ish columns
+    # (text is dropped in ``counts``) — ~24 B/doc in plasma, spilling
+    # if huge; at extreme scale checkpoint it to parquet instead.
+    with_counts = ds.map_batches(
+        counts, batch_format="pyarrow"
+    ).materialize()
 
     # pass 1: tiny per-bucket totals -> exclusive prefix on the driver.
     # Per-batch combiner first, so the groupby shuffle moves at most
-    # #buckets rows per block. (Both passes re-tokenize — at real scale
-    # you'd checkpoint the (doc_id, n_tokens) table to parquet between
-    # passes instead of pinning it in memory.)
+    # #buckets rows per block.
     def bucket_partial(b: pa.Table) -> pa.Table:
         t = pa.table({"bucket": b["bucket"], "n_tokens": b["n_tokens"]})
         g = t.group_by("bucket").aggregate([("n_tokens", "sum")])
