@@ -107,3 +107,33 @@ def test_relative_pronoun_subject_hop():
     chks = ["B-NP", "I-NP", "B-NP", "B-VP", "B-NP", "I-NP"]
     frames = ChunkSrl().frames(toks, tags, chks)
     assert frames and frames[0].arg1 == (0, 2)
+
+
+def test_adverb_extended_rel_variant():
+    """A pre-verb RB outside the VP chunk yields a rel variant that
+    includes it ("never met"), alongside the unextended base frame."""
+    from openie_backend_ray.stages.openie4 import ChunkSrl
+
+    toks = ["They", "never", "met", "the", "king"]
+    tags = ["PRP", "RB", "VBD", "DT", "NN"]
+    chks = ["B-NP", "B-ADVP", "B-VP", "B-NP", "I-NP"]
+    rels = {f.rel for f in ChunkSrl().frames(toks, tags, chks)}
+    assert (2, 3) in rels      # base: "met"
+    assert (1, 3) in rels      # variant: "never met"
+
+
+def test_to_infinitive_chain_variant():
+    """Consecutive VPs with a TO-initial second verb and an NP gap
+    merge into one chained relation ("enables you to create | X")."""
+    from openie_backend_ray.stages.openie4 import ChunkSrl
+
+    toks = ["The", "tool", "enables", "you", "to", "create", "a",
+            "disc"]
+    tags = ["DT", "NN", "VBZ", "PRP", "TO", "VB", "DT", "NN"]
+    chks = ["B-NP", "I-NP", "B-VP", "B-NP", "B-VP", "I-VP", "B-NP",
+            "I-NP"]
+    frames = ChunkSrl().frames(toks, tags, chks)
+    chained = [f for f in frames
+               if f.arg1 == (0, 2) and f.rel == (2, 6)
+               and f.arg2s and f.arg2s[0] == (6, 8)]
+    assert chained  # "The tool | enables you to create | a disc"
