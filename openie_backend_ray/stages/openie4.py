@@ -149,7 +149,11 @@ class ChunkSrl:
       TO-initial second verb and a <=3-chunk NP/PP/ADVP/PRT gap merge
       into one relation span ("enables you to create | X") — ReVerb
       merges adjacent relation matches (exact 0.896 -> 0.898,
-      overlap 0.929 -> 0.932, fan-out 8.86)."""
+      overlap 0.929 -> 0.932, fan-out 8.86);
+    - (round 5) coordinated-VP shared-subject variant: a VP directly
+      preceded by a coordinator whose gap back to the previous VP is
+      NP-only re-emits with that VP's arg1 ("users create X , log Y")
+      (exact 0.898 -> 0.908, overlap 0.932 -> 0.944, fan-out 8.97)."""
 
     _REL_PRON = frozenset({"that", "which", "who", "whom"})
 
@@ -356,6 +360,32 @@ class ChunkSrl:
                                fb.arg2s, fa.confidence,
                                arg2_preps=fb.arg2_preps))
         out.extend(chain)
+        # (round 5) coordinated-VP shared-subject variant: in
+        # "users create a profile , log their friends' info" the
+        # second verb's nearest-left NP is the first verb's OBJECT,
+        # but the golden arg1 is the shared subject of the
+        # coordination (115 of the 121 remaining arg1 misses were
+        # exactly one NP further left).  When the token directly
+        # before a VP is a coordinator (, and or ;) and the gap back
+        # to the previous main-frame VP holds only NP chunks, emit the
+        # later frame once more with the earlier frame's arg1.
+        # Measured: exact 0.898 -> 0.908, overlap 0.932 -> 0.944,
+        # fan-out 8.97 (guard 9.0).
+        coord = []
+        _COORD = {",", "and", "or", ";"}
+        for (ai, fa), (bi, fb) in zip(vp_mains, vp_mains[1:]):
+            sb = spans[bi][1]
+            if spans[ai][2] >= sb:
+                continue
+            if tokens[sb - 1].lower() not in _COORD:
+                continue
+            if any(k != "NP" for k, _, _ in spans[ai + 1:bi]):
+                continue
+            if fb.arg1 != fa.arg1:
+                coord.append(Frame(fa.arg1, fb.rel, fb.arg2s,
+                                   fb.confidence,
+                                   arg2_preps=fb.arg2_preps))
+        out.extend(coord)
         return out
 
 

@@ -7,8 +7,8 @@ scorer: fit on public fixture data, gate the measured number so drift
 fails loudly.
 
 Round-5 measured levels (each rule's contribution in the ChunkSrl
-docstring): exact interval-triple recall 0.898, all-parts-overlap
-recall 0.932, 8.86 triplized frames per instance. Round 5 added four
+docstring): exact interval-triple recall 0.908, all-parts-overlap
+recall 0.944, 8.97 triplized frames per instance. Round 5 added five
 rules over round 4's 0.837/0.894: the ADJP bridge-veto fix (an ADJP
 between the verb and the first prep-introduced arg2 no longer kills
 the V+W*+P bridge variant, 0.837 -> 0.848), the PP-gated subject-hop
@@ -18,7 +18,10 @@ adverb-extended rel variants (rel grown over directly-adjacent
 RB runs — "never met", "ai n't" — ReVerb's verb group includes
 them, 0.876 -> 0.896), and the to-infinitive chain variant (ReVerb
 merges adjacent relation matches: "enables you to create | X",
-0.896 -> 0.898, overlap 0.929 -> 0.932)."""
+0.896 -> 0.898, overlap 0.929 -> 0.932), and the coordinated-VP
+shared-subject variant ("users create X , log Y": the second verb
+re-emits with the first verb's arg1, 0.898 -> 0.908, overlap
+0.932 -> 0.944)."""
 
 from __future__ import annotations
 
@@ -62,21 +65,21 @@ def measured():
 
 
 def test_srl_exact_triple_recall(measured):
-    """>= 0.89 of golden ReVerb triples are recovered with EXACT
+    """>= 0.90 of golden ReVerb triples are recovered with EXACT
     (arg1, rel, arg2) token intervals by triplized ChunkSrl frames."""
     assert measured["total"] > 3000
-    assert measured["exact"] / measured["total"] >= 0.89
+    assert measured["exact"] / measured["total"] >= 0.90
 
 
 def test_srl_overlap_triple_recall(measured):
-    """>= 0.92 at all-parts-overlap (the frame found the right
+    """>= 0.94 at all-parts-overlap (the frame found the right
     constituents, intervals off by attachment)."""
-    assert measured["overlap"] / measured["total"] >= 0.92
+    assert measured["overlap"] / measured["total"] >= 0.94
 
 
 def test_srl_frame_fanout_bounded(measured):
     """Precision guard for the variant rules: the bridge / of-split /
-    prep / subject-hop / adverb / chain fan-out must stay bounded (8.86 triples per
+    prep / subject-hop / adverb / chain / coord fan-out must stay bounded (8.97 triples per
     instance measured), not explode into emit-everything."""
     assert measured["trips"] / measured["total"] < 9.0
 
@@ -137,3 +140,20 @@ def test_to_infinitive_chain_variant():
                if f.arg1 == (0, 2) and f.rel == (2, 6)
                and f.arg2s and f.arg2s[0] == (6, 8)]
     assert chained  # "The tool | enables you to create | a disc"
+
+
+def test_coordinated_vp_shared_subject_variant():
+    """A comma/and-coordinated second verb re-emits with the FIRST
+    verb's arg1 ("users create a profile , log their info")."""
+    from openie_backend_ray.stages.openie4 import ChunkSrl
+
+    toks = ["Users", "create", "a", "profile", ",", "log", "their",
+            "info"]
+    tags = ["NNS", "VBP", "DT", "NN", ",", "VBP", "PRP$", "NN"]
+    chks = ["B-NP", "B-VP", "B-NP", "I-NP", "O", "B-VP", "B-NP",
+            "I-NP"]
+    frames = ChunkSrl().frames(toks, tags, chks)
+    shared = [f for f in frames
+              if f.arg1 == (0, 1) and f.rel == (5, 6)
+              and f.arg2s and f.arg2s[0] == (6, 8)]
+    assert shared  # "Users | log | their info"
